@@ -1,0 +1,298 @@
+"""Adaptive Graph Construction (AGC) as dense masked TPU ops.
+
+Semantics-parity rebuild of the reference pipeline (reference:
+models/agc.py:682-709 `build_optimize_graph_with_cosine_similarity`):
+
+  1. spatial candidate edges: all pairs within `radius`
+     (reference: cKDTree.query_pairs, agc.py:436),
+  2. keep candidates whose descriptor cosine similarity >= the
+     `percentile`-th order statistic of ALL upper-triangle similarities
+     (reference: agc.py:438-440, 367-380),
+  3. connect isolated nodes to their nearest spatial neighbor
+     (reference: agc.py:476-495),
+  4. drop connected components smaller than `min_size`
+     (reference: agc.py:497-516) — here nodes are *masked out*, never
+     physically removed, which keeps shapes static,
+  5. single-pass reconnection of each surviving component to its
+     nearest-centroid neighbor component through the closest node pair
+     (reference: agc.py:518-565).
+
+Everything is fixed-shape: adjacency is a dense (N, N) bool matrix, the
+percentile is an exact k-th order statistic found by float bisection, and
+connected components use min-label propagation + pointer jumping
+(<= cc_rounds fixed rounds), all verified against networkx/scipy oracles in
+tests/test_agc.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(3.0e38)
+
+
+class AGCGraph(NamedTuple):
+    """Result of graph construction for one padded keypoint set."""
+
+    adj: jnp.ndarray        # (N, N) bool symmetric adjacency, no self loops
+    kept: jnp.ndarray       # (N,) bool — valid AND survived min_size pruning
+    labels: jnp.ndarray     # (N,) int32 component label (min node id; N = invalid)
+    threshold: jnp.ndarray  # () f32 cosine threshold actually used
+
+
+def pairwise_sq_dists(kpts: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2) -> (N, N) squared Euclidean distances.
+
+    Computed by explicit differencing (not the |x|^2-2xy+|y|^2 trick) to
+    keep f32 accuracy comparable to scipy's KD-tree for radius tests.
+    """
+    d = kpts[:, None, :] - kpts[None, :, :]
+    return jnp.sum(d * d, axis=-1)
+
+
+def cosine_similarity_matrix(descs: jnp.ndarray) -> jnp.ndarray:
+    """(N, D) -> (N, N) cosine similarity of L2-normalized rows.
+
+    Matches torch.nn.functional.normalize(dim=1) + matmul
+    (reference: agc.py:382-391): rows are divided by max(||x||, eps).
+    """
+    norm = jnp.linalg.norm(descs, axis=1, keepdims=True)
+    normed = descs / jnp.maximum(norm, 1e-12)
+    # HIGHEST keeps the MXU in (3-pass) f32 so the percentile threshold —
+    # an exact order statistic of these values — is stable across backends.
+    return jnp.matmul(normed, normed.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def kth_smallest_masked(values: jnp.ndarray, mask: jnp.ndarray, k: jnp.ndarray,
+                        lo: float, hi: float, iters: int = 50) -> jnp.ndarray:
+    """Exact k-th (0-indexed) order statistic of values[mask] by bisection.
+
+    Replaces np.partition(similarities, k)[k] (reference: agc.py:367-380)
+    without sorting the O(N^2) similarity set. After bisection the result is
+    snapped to the smallest actual element > lo_final, so the returned
+    threshold is an exact member of the set (ties then behave identically
+    under the reference's >= comparison).
+    """
+    values = values.astype(jnp.float32)
+
+    def body(_, state):
+        lo_, hi_ = state
+        mid = 0.5 * (lo_ + hi_)
+        cnt = jnp.sum(((values <= mid) & mask).astype(jnp.int32))
+        below = cnt < (k + 1)
+        lo_ = jnp.where(below, mid, lo_)
+        hi_ = jnp.where(below, hi_, mid)
+        return (lo_, hi_)
+
+    lo_f, hi_f = jax.lax.fori_loop(
+        0, iters, body, (jnp.float32(lo), jnp.float32(hi))
+    )
+    snapped = jnp.min(jnp.where(mask & (values > lo_f), values, BIG))
+    return jnp.where(jnp.any(mask), jnp.minimum(snapped, hi_f), jnp.float32(0.0))
+
+
+def connected_components(adj: jnp.ndarray, valid: jnp.ndarray,
+                         rounds: int) -> jnp.ndarray:
+    """Min-label propagation with pointer jumping.
+
+    Returns (N,) int32 labels; each component is labeled by its minimum
+    node index (invalid nodes get the sentinel N). Convergence: hooking via
+    neighbor-min plus 3 pointer jumps per round covers any component
+    diameter reachable by ~8x growth per round; tests cover path graphs.
+    """
+    n = adj.shape[0]
+    sentinel = jnp.int32(n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    label0 = jnp.where(valid, idx, sentinel)
+
+    def body(_, label):
+        neigh = jnp.where(adj, label[None, :], sentinel)
+        neigh_min = jnp.min(neigh, axis=1)
+        label = jnp.minimum(label, jnp.where(valid, neigh_min, sentinel))
+        for _ in range(3):
+            safe = jnp.minimum(label, n - 1)
+            jumped = jnp.where(label < n, label[safe], sentinel)
+            label = jnp.minimum(label, jumped)
+        return label
+
+    return jax.lax.fori_loop(0, rounds, body, label0)
+
+
+def _first_min_index(values: jnp.ndarray, mask: jnp.ndarray,
+                     axis: int = -1) -> jnp.ndarray:
+    """(min, first-argmin) over a masked axis; sentinel = axis length."""
+    n = values.shape[axis]
+    masked = jnp.where(mask, values, BIG)
+    mn = jnp.min(masked, axis=axis)
+    hit = mask & (values == jnp.expand_dims(mn, axis))
+    ar_shape = [1] * values.ndim
+    ar_shape[axis] = n
+    ar = jnp.arange(n, dtype=jnp.int32).reshape(ar_shape)
+    arg = jnp.min(jnp.where(hit, ar, jnp.int32(n)), axis=axis)
+    return mn, arg
+
+
+def build_graph(
+    kpts: jnp.ndarray,
+    descs: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float,
+    percentile: float,
+    min_size: int,
+    cc_rounds: int = 20,
+    k=None,
+) -> AGCGraph:
+    """Full AGC for one padded keypoint set.
+
+    Args:
+      kpts: (N, 2) f32 padded keypoint xy.
+      descs: (N, D) f32 padded descriptors (unnormalized, as stored).
+      valid: (N,) bool padding mask.
+      radius/percentile/min_size: AGC knobs (see AGCConfig).
+      k: optional precomputed rank of the percentile threshold
+         (= int(num_valid_pairs * percentile / 100), clipped). Callers that
+         know the valid count on the host should pass it for exact integer
+         math; the in-graph fallback computes it in f32 (exact below ~16M
+         pairs, i.e. N <~ 5800).
+    """
+    n = kpts.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pair_valid = valid[:, None] & valid[None, :]
+    off_diag = idx[:, None] != idx[None, :]
+
+    d2 = pairwise_sq_dists(kpts)
+    sim = cosine_similarity_matrix(descs)
+
+    # --- percentile threshold over the valid upper triangle ---
+    triu = pair_valid & (idx[:, None] < idx[None, :])
+    if k is None:
+        nv = jnp.sum(valid.astype(jnp.int32))
+        count = (nv * (nv - 1)) // 2
+        k = jnp.floor(
+            count.astype(jnp.float32) * jnp.float32(percentile / 100.0)
+        ).astype(jnp.int32)
+        k = jnp.where(k >= count, count - 1, k)  # reference: agc.py:379
+        k = jnp.maximum(k, 0)
+    else:
+        k = jnp.asarray(k, jnp.int32)
+    threshold = kth_smallest_masked(sim, triu, k, lo=-1.001, hi=1.001)
+
+    # --- candidate edges: within radius AND similarity >= threshold ---
+    within = d2 <= jnp.float32(radius) * jnp.float32(radius)
+    adj = pair_valid & off_diag & within & (sim >= threshold)
+
+    # --- connect isolated nodes to the nearest spatial neighbor ---
+    degree = jnp.sum(adj, axis=1)
+    has_any_edge = jnp.any(adj)  # reference skips the fix on edgeless graphs
+    isolated = valid & (degree == 0) & has_any_edge
+    _, nn_idx = _first_min_index(d2, pair_valid & off_diag, axis=1)
+    nn_idx = jnp.minimum(nn_idx, n - 1)
+    fix = jnp.zeros_like(adj).at[idx, nn_idx].max(isolated)
+    adj = adj | fix | fix.T
+
+    # --- connected components + small-component pruning ---
+    labels = connected_components(adj, valid, cc_rounds)
+    safe_labels = jnp.minimum(labels, n - 1)
+    sizes = jax.ops.segment_sum(valid.astype(jnp.int32), safe_labels,
+                                num_segments=n)
+    kept = valid & (sizes[safe_labels] >= min_size)
+
+    # --- drop edges touching removed nodes, then reconnect survivors ---
+    adj = adj & kept[:, None] & kept[None, :]
+    adj = _reconnect_components(adj, kpts, d2, labels, kept)
+    return AGCGraph(adj=adj, kept=kept, labels=labels, threshold=threshold)
+
+
+def _reconnect_components(adj, kpts, d2, labels, kept):
+    """Reference: agc.py:518-565 `fast_connect_components`.
+
+    Single pass: each surviving component links to its nearest component by
+    centroid distance through the closest node pair. A link (i, j) is
+    skipped when (j, i) was already made earlier in the pass; enumeration
+    order is ascending component label (= ascending min node id, matching
+    networkx's connected_components order for nodes inserted 0..N-1).
+    """
+    n = kpts.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # component id of each node in [0, n]; n is the "invalid" bucket
+    lab = jnp.where(kept, jnp.minimum(labels, n - 1), jnp.int32(n))
+
+    cnt = jax.ops.segment_sum(kept.astype(jnp.float32), lab, num_segments=n + 1)
+    comp_ok = cnt > 0
+    comp_ok = comp_ok.at[n].set(False)
+    num_comps = jnp.sum(comp_ok)
+
+    sx = jax.ops.segment_sum(jnp.where(kept, kpts[:, 0], 0.0), lab, num_segments=n + 1)
+    sy = jax.ops.segment_sum(jnp.where(kept, kpts[:, 1], 0.0), lab, num_segments=n + 1)
+    cent = jnp.stack([sx, sy], axis=-1) / jnp.maximum(cnt, 1.0)[:, None]
+
+    cd = cent[:, None, :] - cent[None, :, :]
+    cd2 = jnp.sum(cd * cd, axis=-1)  # (n+1, n+1)
+    comp_ids = jnp.arange(n + 1, dtype=jnp.int32)
+    comp_pair_ok = (
+        comp_ok[:, None] & comp_ok[None, :]
+        & (comp_ids[:, None] != comp_ids[None, :])
+    )
+    _, nnc = _first_min_index(cd2, comp_pair_ok, axis=1)  # (n+1,), sentinel n+1
+    nnc_safe = jnp.minimum(nnc, n)
+
+    # skip rule: pair (l, nnc[l]) is dropped iff nnc[l] < l and it already
+    # linked back to us (nnc[nnc[l]] == l)
+    link_ok = comp_ok & (nnc <= n) & ~((nnc < comp_ids) & (nnc_safe[nnc_safe] == comp_ids))
+    link_ok = link_ok & (num_comps > 1)
+
+    # md[c, v] = min_{u in comp c} d2[u, v]; amd = the first such u
+    d2_rows_masked = jnp.where(kept[:, None], d2, BIG)
+    md = jax.ops.segment_min(d2_rows_masked, lab, num_segments=n + 1)  # (n+1, N)
+    md_rows = md[lab]                                                  # (N, N)
+    hit_u = kept[:, None] & (d2 == md_rows)
+    amd = jax.ops.segment_min(
+        jnp.where(hit_u, idx[:, None], jnp.int32(n)), lab, num_segments=n + 1
+    )  # (n+1, N)
+
+    # m3[c1, c2] = min_{v in comp c2} md[c1, v]; vstar = the first such v
+    md_cols_masked = jnp.where(kept[None, :], md, BIG)
+    m3 = jax.ops.segment_min(md_cols_masked.T, lab, num_segments=n + 1).T  # (n+1, n+1)
+    m3_cols = m3[:, lab]                                                   # (n+1, N)
+    hit_v = kept[None, :] & (md == m3_cols)
+    vstar = jax.ops.segment_min(
+        jnp.where(hit_v, idx[None, :], jnp.int32(n)).T, lab, num_segments=n + 1
+    ).T  # (n+1, n+1)
+
+    v_l = vstar[comp_ids, jnp.minimum(nnc_safe, n)]       # (n+1,)
+    v_l_safe = jnp.minimum(v_l, n - 1)
+    u_l = amd[comp_ids, v_l_safe]                          # (n+1,)
+    u_l_safe = jnp.minimum(u_l, n - 1)
+    ok = link_ok & (v_l < n) & (u_l < n)
+
+    new_edges = jnp.zeros_like(adj).at[u_l_safe, v_l_safe].max(ok)
+    return adj | new_edges | new_edges.T
+
+
+def delaunay_adjacency_host(kpts, valid):
+    """Host-side Delaunay adjacency (D-GIMS variant).
+
+    Reference: agc.py:718-752. Runs scipy Delaunay on the valid keypoints
+    and scatters the simplex edges into a dense (N, N) bool matrix.
+    (The reference's Delaunay inference path crashes with a NameError at
+    gmatcher.py:250; here the variant is actually usable: all nodes are kept.)
+    """
+    import numpy as np
+    from scipy.spatial import Delaunay
+
+    kpts = np.asarray(kpts)
+    valid = np.asarray(valid, bool)
+    n = kpts.shape[0]
+    adj = np.zeros((n, n), dtype=bool)
+    pts_idx = np.nonzero(valid)[0]
+    if pts_idx.shape[0] >= 3:
+        tri = Delaunay(kpts[pts_idx])
+        s = tri.simplices  # (T, 3) indices into pts_idx
+        for a, b in ((0, 1), (0, 2), (1, 2)):
+            ia, ib = pts_idx[s[:, a]], pts_idx[s[:, b]]
+            adj[ia, ib] = True
+            adj[ib, ia] = True
+    return adj

@@ -1,0 +1,222 @@
+"""Configuration tree for GIMS-TPU.
+
+Mirrors the reference YAML schema (reference: configs/coco_config.yaml) but
+lifts the AGC knobs (radius / percentile / min_size / delaunay), which the
+reference smuggles through the input data dict (reference:
+models/gmatcher.py:220-223), into first-class config.
+
+All configs are plain dataclasses so they hash cleanly as jit static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AGCConfig:
+    """Adaptive graph construction knobs.
+
+    Reference defaults: models/gmatcher.py:220-222 (radius=25, percentile=7,
+    min_size=8); the published eval harness overrides to r=15, p=2, m=7
+    (reference: eval_homography.py:122-124).
+    """
+
+    radius: float = 25.0
+    percentile: float = 7.0
+    min_size: int = 8
+    delaunay: bool = False
+    # Fixed-iteration budget for connected-component label propagation.
+    # ceil(log2(N)) + slack; verified against scipy in tests.
+    cc_rounds: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """GMatcher hyper-parameters (reference: models/gmatcher.py:166-176)."""
+
+    descriptor_dim: int = 256
+    keypoint_encoder: Tuple[int, ...] = (32, 64, 128, 256)
+    num_gnn_layers: int = 18  # ['self','cross'] * 9
+    sinkhorn_iterations: int = 100
+    match_threshold: float = 0.2
+    use_layernorm: bool = False
+    input_dim: int = 256
+    num_heads: int = 4
+    sage_layers: int = 3
+    # Loss weights (reference: configs/coco_config.yaml:25-26)
+    pos_loss_weight: float = 0.45
+    neg_loss_weight: float = 1.0
+    # TPU-specific: compute attention in bfloat16 (accumulate f32).
+    attention_dtype: str = "float32"
+    # Keypoint-normalization convention. "gims" replicates the reference's
+    # shape-unpacking of NHWC images in normalize_keypoints (reference:
+    # models/gmatcher.py:26-33 receives (B,H,W,3) so "height"=W and
+    # "width"=3); "standard" centers/scales by the true (H, W).
+    normalization: str = "standard"
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """SIFT + patch extraction (reference: utils/common.py:838-848)."""
+
+    n_octave_layers: int = 3
+    contrast_threshold: float = 0.001
+    edge_threshold: float = 80.0
+    sigma: float = 1.6
+    max_keypoints: int = -1
+    patch_size: int = 32       # final CNN input resolution
+    warp_size: int = 64        # warped patch before 2x area downsample
+    interpolation: str = "cubic"  # 'cubic' matches cv2.INTER_CUBIC; 'linear' is faster
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    """COCO self-supervised homography dataset
+    (reference: configs/coco_config.yaml:37-53)."""
+
+    dataset_path: str = "./datasets/coco"
+    apply_color_aug: bool = True
+    image_height: int = 480
+    image_width: int = 640
+    resize_aspect: bool = False
+    # augmentation_params
+    patch_ratio: float = 0.85
+    perspective_x: float = 0.0
+    perspective_y: float = 0.0
+    shear_ratio: float = 0.04
+    shear_angle: float = 10.0
+    rotation_angle: float = 25.0
+    scale: float = 0.6
+    translation: float = 0.6
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Reference: configs/coco_config.yaml:29-35."""
+
+    opt_type: str = "adam"
+    lr: float = 1e-4
+    weight_decay: float = 5e-4
+    warmup_epochs: int = 1
+    step_epoch: int = 25
+    step_value: float = 0.9440608762859234
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Reference: configs/coco_config.yaml:1-26."""
+
+    output_dir: str = "output/train"
+    experiment_name: str = "default"
+    start_epoch: int = 0
+    batch_size: int = 1
+    num_epochs: int = 2
+    num_workers: int = 0
+    log_interval: int = 50
+    val_images_count: int = 10
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+    init_seed: int = 10
+    max_keypoints: int = 2048
+    lastiter_every: int = 2000
+    minloss_every: int = 200
+
+
+@dataclasses.dataclass(frozen=True)
+class GIMSConfig:
+    """Top-level config."""
+
+    agc: AGCConfig = dataclasses.field(default_factory=AGCConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    dataset: DatasetConfig = dataclasses.field(default_factory=DatasetConfig)
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def _update(dc, **kwargs):
+    known = {f.name for f in dataclasses.fields(dc)}
+    return dataclasses.replace(dc, **{k: v for k, v in kwargs.items() if k in known})
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> GIMSConfig:
+    """Load a GIMSConfig from a YAML file in the reference's schema.
+
+    Accepts the reference's section names (train_params / optimizer_params /
+    dataset_params) so existing config files keep working.
+    """
+    cfg = GIMSConfig()
+    raw = {}
+    if path is not None:
+        import yaml
+
+        with open(path, "r", encoding="utf-8") as f:
+            raw = yaml.safe_load(f) or {}
+    if overrides:
+        raw = {**raw, **overrides}
+
+    tp = raw.get("train_params", {})
+    op = raw.get("optimizer_params", {})
+    dp = raw.get("dataset_params", {})
+    ap = dp.get("augmentation_params", {})
+
+    matcher = _update(
+        cfg.matcher,
+        sinkhorn_iterations=tp.get("sinkhorn_iterations", cfg.matcher.sinkhorn_iterations),
+        match_threshold=tp.get("match_threshold", cfg.matcher.match_threshold),
+        use_layernorm=tp.get("use_layernorm", cfg.matcher.use_layernorm),
+        num_gnn_layers=2 * tp.get("tf_layers", cfg.matcher.num_gnn_layers // 2),
+        pos_loss_weight=tp.get("pos_loss_weight", cfg.matcher.pos_loss_weight),
+        neg_loss_weight=tp.get("neg_loss_weight", cfg.matcher.neg_loss_weight),
+    )
+    train = _update(
+        cfg.train,
+        output_dir=tp.get("output_dir", cfg.train.output_dir),
+        experiment_name=tp.get("experiment_name", cfg.train.experiment_name),
+        start_epoch=tp.get("start_epoch", cfg.train.start_epoch),
+        batch_size=tp.get("batch_size", cfg.train.batch_size),
+        num_epochs=tp.get("num_epochs", cfg.train.num_epochs),
+        num_workers=tp.get("num_workers", cfg.train.num_workers),
+        log_interval=tp.get("log_interval", cfg.train.log_interval),
+        val_images_count=tp.get("val_images_count", cfg.train.val_images_count),
+        use_ema=tp.get("use_ema", cfg.train.use_ema),
+        init_seed=tp.get("init_seed", cfg.train.init_seed),
+    )
+    optimizer = _update(
+        cfg.optimizer,
+        opt_type=op.get("opt_type", cfg.optimizer.opt_type),
+        lr=op.get("lr", cfg.optimizer.lr),
+        weight_decay=op.get("weight_decay", cfg.optimizer.weight_decay),
+        warmup_epochs=op.get("warmup_epochs", cfg.optimizer.warmup_epochs),
+        step_epoch=op.get("step_epoch", cfg.optimizer.step_epoch),
+        step_value=op.get("step_value", cfg.optimizer.step_value),
+    )
+    dataset = _update(
+        cfg.dataset,
+        dataset_path=dp.get("dataset_path", cfg.dataset.dataset_path),
+        apply_color_aug=dp.get("apply_color_aug", cfg.dataset.apply_color_aug),
+        image_height=dp.get("image_height", cfg.dataset.image_height),
+        image_width=dp.get("image_width", cfg.dataset.image_width),
+        resize_aspect=dp.get("resize_aspect", cfg.dataset.resize_aspect),
+        patch_ratio=ap.get("patch_ratio", cfg.dataset.patch_ratio),
+        perspective_x=ap.get("perspective_x", cfg.dataset.perspective_x),
+        perspective_y=ap.get("perspective_y", cfg.dataset.perspective_y),
+        shear_ratio=ap.get("shear_ratio", cfg.dataset.shear_ratio),
+        shear_angle=ap.get("shear_angle", cfg.dataset.shear_angle),
+        rotation_angle=ap.get("rotation_angle", cfg.dataset.rotation_angle),
+        scale=ap.get("scale", cfg.dataset.scale),
+        translation=ap.get("translation", cfg.dataset.translation),
+    )
+    agc = _update(
+        cfg.agc,
+        radius=raw.get("agc", {}).get("radius", cfg.agc.radius),
+        percentile=raw.get("agc", {}).get("percentile", cfg.agc.percentile),
+        min_size=raw.get("agc", {}).get("min_size", cfg.agc.min_size),
+        delaunay=raw.get("agc", {}).get("delaunay", cfg.agc.delaunay),
+    )
+    return GIMSConfig(
+        agc=agc, matcher=matcher, frontend=cfg.frontend, dataset=dataset,
+        optimizer=optimizer, train=train,
+    )

@@ -1,0 +1,208 @@
+"""AGC parity: dense masked TPU implementation vs a networkx/scipy oracle
+that follows the reference pipeline semantics (reference: models/agc.py
+682-709, 413-449, 476-565)."""
+
+import numpy as np
+import networkx as nx
+import pytest
+import jax.numpy as jnp
+from scipy.spatial import cKDTree
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import connected_components as scipy_cc
+
+from gims_tpu.agc.graph import (
+    build_graph,
+    connected_components,
+    kth_smallest_masked,
+    delaunay_adjacency_host,
+)
+
+
+def oracle_agc(kpts, descs, radius, percentile, min_size):
+    """Oracle following the reference's algorithm with networkx/scipy."""
+    n = len(kpts)
+    tree = cKDTree(kpts)
+    pairs = tree.query_pairs(r=radius)
+    normed = descs / np.maximum(
+        np.linalg.norm(descs, axis=1, keepdims=True), 1e-12
+    )
+    sim = (normed @ normed.T).astype(np.float32)
+    vals = sim[np.triu_indices(n, 1)]
+    k = int(len(vals) * percentile / 100)
+    if k >= len(vals):
+        k = len(vals) - 1
+    thr = np.partition(vals, k)[k]
+
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    for i, j in pairs:
+        if sim[i, j] >= thr:
+            g.add_edge(i, j)
+
+    if g.number_of_edges() > 0:
+        for node in list(g.nodes):
+            if g.degree(node) == 0:
+                _, nnidx = tree.query(kpts[node], k=2)
+                nn = nnidx[1] if nnidx[0] == node else nnidx[0]
+                g.add_edge(node, nn)
+
+    kept = set()
+    for comp in list(nx.connected_components(g)):
+        if len(comp) < min_size:
+            g.remove_nodes_from(comp)
+        else:
+            kept |= comp
+
+    comps = list(nx.connected_components(g))
+    if len(comps) > 1:
+        cents = np.array([kpts[list(c)].mean(0) for c in comps])
+        ctree = cKDTree(cents)
+        _, nn_idx = ctree.query(cents, k=2)
+        connected = set()
+        for i, j in enumerate(nn_idx[:, 1]):
+            if (i, j) in connected or (j, i) in connected:
+                continue
+            connected.add((i, j))
+            ci, cj = list(comps[i]), list(comps[j])
+            ti = cKDTree(kpts[ci])
+            dists, indices = ti.query(kpts[cj], k=1)
+            jj = int(np.argmin(dists))
+            ii = int(indices[jj])
+            g.add_edge(ci[ii], cj[jj])
+    return g, kept, thr
+
+
+def run_both(kpts, descs, radius, percentile, min_size, pad_to=None):
+    n = len(kpts)
+    nb = pad_to or n
+    kp = np.full((nb, 2), 1e6, np.float32)
+    kp[:n] = kpts
+    dp = np.zeros((nb, descs.shape[1]), np.float32)
+    dp[:n] = descs
+    valid = np.zeros(nb, bool)
+    valid[:n] = True
+    out = build_graph(
+        jnp.asarray(kp), jnp.asarray(dp), jnp.asarray(valid),
+        radius=radius, percentile=percentile, min_size=min_size,
+    )
+    g, kept, thr = oracle_agc(kpts, descs, radius, percentile, min_size)
+    return out, g, kept, thr, n
+
+
+def assert_parity(out, g, kept, thr, n):
+    got_kept = set(np.nonzero(np.asarray(out.kept))[0].tolist())
+    assert got_kept == kept
+    adj = np.asarray(out.adj)
+    got_edges = {
+        (int(i), int(j)) for i, j in zip(*np.nonzero(adj)) if i < j
+    }
+    want_edges = {(min(u, v), max(u, v)) for u, v in g.edges}
+    assert got_edges == want_edges
+    np.testing.assert_allclose(float(out.threshold), thr, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("pad", [None, 300])
+def test_agc_parity_random(seed, pad):
+    rng = np.random.RandomState(seed)
+    n = 180
+    kpts = (rng.rand(n, 2) * 200).astype(np.float32)
+    descs = rng.randn(n, 16).astype(np.float32)
+    out, g, kept, thr, n = run_both(kpts, descs, 25.0, 7.0, 5, pad_to=pad)
+    assert_parity(out, g, kept, thr, n)
+
+
+def test_agc_parity_eval_knobs():
+    rng = np.random.RandomState(7)
+    n = 256
+    kpts = (rng.rand(n, 2) * 120).astype(np.float32)
+    descs = rng.randn(n, 32).astype(np.float32)
+    out, g, kept, thr, n = run_both(kpts, descs, 15.0, 2.0, 7, pad_to=512)
+    assert_parity(out, g, kept, thr, n)
+
+
+def test_agc_clustered_many_components():
+    """Clusters far apart force the small-component removal + reconnection."""
+    rng = np.random.RandomState(42)
+    clusters = []
+    for cx, cy, cnt in [(0, 0, 30), (500, 0, 25), (0, 500, 12),
+                        (500, 500, 4), (250, 250, 3)]:
+        clusters.append(rng.rand(cnt, 2).astype(np.float32) * 30 + [cx, cy])
+    kpts = np.concatenate(clusters)
+    descs = rng.randn(len(kpts), 8).astype(np.float32)
+    out, g, kept, thr, n = run_both(kpts, descs, 40.0, 5.0, 6, pad_to=128)
+    assert_parity(out, g, kept, thr, n)
+
+
+def test_connected_components_path_graph():
+    """Worst-case diameter: a path graph must converge in cc_rounds."""
+    n = 512
+    adj = np.zeros((n, n), bool)
+    for i in range(n - 1):
+        adj[i, i + 1] = adj[i + 1, i] = True
+    labels = np.asarray(
+        connected_components(jnp.asarray(adj), jnp.ones(n, bool), rounds=20)
+    )
+    assert (labels == 0).all()
+
+
+def test_connected_components_random_vs_scipy(rng):
+    n = 200
+    adj = rng.rand(n, n) < 0.01
+    adj = np.triu(adj, 1)
+    adj = adj | adj.T
+    valid = rng.rand(n) < 0.9
+    adj = adj & valid[:, None] & valid[None, :]
+    labels = np.asarray(
+        connected_components(jnp.asarray(adj), jnp.asarray(valid), rounds=20)
+    )
+    ncomp, want = scipy_cc(csr_matrix(adj[np.ix_(valid, valid)]), directed=False)
+    got_valid = labels[valid]
+    # same partition: two valid nodes share our label iff scipy agrees
+    same_ours = got_valid[:, None] == got_valid[None, :]
+    same_want = want[:, None] == want[None, :]
+    assert (same_ours == same_want).all()
+    # label is the min node id of the component
+    ids = np.nonzero(valid)[0]
+    for lab in np.unique(got_valid):
+        members = ids[got_valid == lab]
+        assert lab == members.min()
+    assert (labels[~valid] == n).all()
+
+
+@pytest.mark.parametrize("percentile", [0.0, 2.0, 7.0, 50.0, 99.0])
+def test_kth_smallest_exact(rng, percentile):
+    vals = rng.randn(4000).astype(np.float32)
+    vals = np.clip(vals, -0.999, 0.999)
+    mask = rng.rand(4000) < 0.8
+    subset = np.sort(vals[mask])
+    k = int(len(subset) * percentile / 100)
+    k = min(k, len(subset) - 1)
+    got = float(
+        kth_smallest_masked(
+            jnp.asarray(vals), jnp.asarray(mask), jnp.int32(k),
+            lo=-1.001, hi=1.001,
+        )
+    )
+    assert got == subset[k]
+
+
+def test_delaunay_adjacency():
+    rng = np.random.RandomState(1)
+    n, nb = 50, 64
+    kpts = rng.rand(n, 2).astype(np.float32) * 100
+    valid = np.zeros(nb, bool)
+    valid[:n] = True
+    kp = np.zeros((nb, 2), np.float32)
+    kp[:n] = kpts
+    adj = delaunay_adjacency_host(kp, valid)
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(kpts)
+    want = set()
+    for s in tri.simplices:
+        for a in range(3):
+            for b in range(a + 1, 3):
+                want.add((min(s[a], s[b]), max(s[a], s[b])))
+    got = {(int(i), int(j)) for i, j in zip(*np.nonzero(adj)) if i < j}
+    assert got == want
