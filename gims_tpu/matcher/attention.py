@@ -1,0 +1,91 @@
+"""Masked multi-head attention for the GNN trunk.
+
+Two interchangeable paths:
+
+* `masked_attention_direct`: materializes (B, H, N, M) scores — used for
+  small buckets and as the reference/tests implementation.
+* `masked_attention_flash`: blockwise streaming softmax over key chunks
+  (`jax.lax.scan`) so the N x M score matrix never exists in full — the
+  default above FLASH_THRESHOLD keys. At the reference's eval scale
+  (N ~ 15k) the direct path would need ~4 GB per call per layer
+  (SURVEY.md §5 long-context row); the flash path is O(N * block).
+
+A Pallas fused kernel can be slotted in behind the same signature
+(see gims_tpu/matcher/pallas_attention.py).
+
+Math parity: reference models/gmatcher.py:35-39 — scores scaled by
+1/sqrt(head_dim), softmax over keys.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+FLASH_THRESHOLD = 4096
+FLASH_BLOCK = 1024
+
+
+def masked_attention_direct(q, k, v, key_mask, precision=None):
+    """q: (B, N, H, D); k, v: (B, M, H, D); key_mask: (B, M) bool."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(d)).astype(q.dtype)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k, precision=precision) * scale
+    scores = jnp.where(key_mask[:, None, None, :], scores, NEG_INF)
+    prob = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", prob, v, precision=precision)
+
+
+def masked_attention_flash(q, k, v, key_mask, block_size=FLASH_BLOCK,
+                           precision=None):
+    """Streaming-softmax attention over key blocks (flash-style).
+
+    Equivalent to the direct path up to float rounding; never materializes
+    more than (B, H, N, block_size) scores at once.
+    """
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+
+    nblocks = -(-m // block_size)
+    pad = nblocks * block_size - m
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
+    kb = k.reshape(b, nblocks, block_size, h, d).transpose(1, 0, 2, 3, 4)
+    vb = v.reshape(b, nblocks, block_size, h, d).transpose(1, 0, 2, 3, 4)
+    mb = key_mask.reshape(b, nblocks, block_size).transpose(1, 0, 2)
+
+    acc0 = jnp.zeros((b, n, h, d), jnp.float32)
+    l0 = jnp.zeros((b, n, h), jnp.float32)
+    m0 = jnp.full((b, n, h), NEG_INF, jnp.float32)
+
+    def step(carry, blk):
+        acc, l, mx = carry
+        kc, vc, mc = blk
+        s = jnp.einsum("bnhd,bchd->bnhc", q, kc, precision=precision)
+        s = s.astype(jnp.float32) * scale
+        s = jnp.where(mc[:, None, None, :], s, NEG_INF)
+        mx_new = jnp.maximum(mx, jnp.max(s, axis=-1))
+        corr = jnp.exp(mx - mx_new)
+        p = jnp.exp(s - mx_new[..., None])
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bnhc,bchd->bnhd", p.astype(q.dtype), vc, precision=precision
+        ).astype(jnp.float32)
+        return (acc, l, mx_new), None
+
+    (acc, l, _), _ = jax.lax.scan(step, (acc0, l0, m0), (kb, vb, mb))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.astype(q.dtype)
+
+
+def masked_attention(q, k, v, key_mask, precision=None):
+    """Dispatch direct vs flash by static key count."""
+    if k.shape[1] <= FLASH_THRESHOLD:
+        return masked_attention_direct(q, k, v, key_mask, precision=precision)
+    return masked_attention_flash(q, k, v, key_mask, precision=precision)

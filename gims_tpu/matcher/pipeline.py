@@ -1,0 +1,174 @@
+"""End-to-end jitted matcher pipeline: AGC -> GMatcher -> OT -> matches.
+
+This is the function that compiles once per (bucket0, bucket1) pair and
+replays for every image pair — the TPU replacement for the reference's
+eager GMatcher.forward (reference: models/gmatcher.py:219-307) and
+forward_train (reference: models/gmatcher.py:309-386).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gims_tpu.config import AGCConfig, MatcherConfig
+from gims_tpu.agc.graph import build_graph
+from gims_tpu.matcher import sinkhorn
+from gims_tpu.matcher.gmatcher import GMatcher, normalize_keypoints
+
+
+def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None):
+    """Batched AGC. kpts (B,N,2), descs (B,N,D), valid (B,N).
+
+    `k` is the optional per-item percentile rank (B,) computed host-side.
+    Returns (adj (B,N,N), kept (B,N))."""
+    fn = functools.partial(
+        build_graph,
+        radius=acfg.radius,
+        percentile=acfg.percentile,
+        min_size=acfg.min_size,
+        cc_rounds=acfg.cc_rounds,
+    )
+    if k is None:
+        out = jax.vmap(lambda a, b, c: fn(a, b, c))(kpts, descs, valid)
+    else:
+        out = jax.vmap(lambda a, b, c, kk: fn(a, b, c, k=kk))(
+            kpts, descs, valid, k
+        )
+    return out.adj, out.kept
+
+
+def percentile_rank(num_valid: int, percentile: float) -> int:
+    """Host-side exact rank of the AGC percentile threshold
+    (reference: models/agc.py:378-379)."""
+    count = num_valid * (num_valid - 1) // 2
+    if count <= 0:
+        return 0
+    k = int(count * percentile / 100)
+    if k >= count:
+        k = count - 1
+    return k
+
+
+def forward_match(
+    variables,
+    mcfg: MatcherConfig,
+    acfg: AGCConfig,
+    kpts0, desc0, valid0,
+    kpts1, desc1, valid1,
+    image_shape,          # (H, W) static python ints
+    k0=None, k1=None,
+    adj0=None, adj1=None,  # optional precomputed adjacency (Delaunay path)
+):
+    """Inference for a batch of pairs. All arrays padded to buckets.
+
+    Returns dict with padded matches/scores plus kept masks (host code
+    compacts them to the reference's dict contract, see api.py).
+    """
+    if adj0 is None:
+        adj0, kept0 = run_agc(kpts0, desc0, valid0, acfg, k0)
+    else:
+        kept0 = valid0
+    if adj1 is None:
+        adj1, kept1 = run_agc(kpts1, desc1, valid1, acfg, k1)
+    else:
+        kept1 = valid1
+
+    h, w = image_shape
+    kpts0n = normalize_keypoints(kpts0, h, w, mcfg.normalization)
+    kpts1n = normalize_keypoints(kpts1, h, w, mcfg.normalization)
+
+    out = GMatcher(mcfg).apply(
+        variables, kpts0n, desc0, adj0, kept0, kpts1n, desc1, adj1, kept1,
+        train=False,
+    )
+    ext = sinkhorn.extract_matches(
+        out["Z"], kept0, kept1, mcfg.match_threshold
+    )
+    return {
+        **ext,
+        "kept0": kept0,
+        "kept1": kept1,
+        "mdesc0": out["mdesc0"],
+        "mdesc1": out["mdesc1"],
+    }
+
+
+def remap_gt_to_dustbin(gt_rows, gt_valid, kept0, kept1, nb0, nb1):
+    """Reference: models/gmatcher.py:337-374.
+
+    GT rows are (R, 3) = (batch, i0, i1) in ORIGINAL (padded) index space.
+    The reference compacts keypoints after AGC and remaps GT through the
+    kept-index dictionaries; any row containing -1 — and any row whose
+    endpoint was pruned — collapses to (-1, -1), which in torch's negative
+    indexing selects the dustbin-dustbin corner cell Z[M, N]. We reproduce
+    that exactly: such rows index (nb0, nb1).
+    """
+    b = gt_rows[:, 0]
+    i0 = gt_rows[:, 1]
+    i1 = gt_rows[:, 2]
+    has_neg = (i0 < 0) | (i1 < 0)
+    i0c = jnp.clip(i0, 0, nb0 - 1)
+    i1c = jnp.clip(i1, 0, nb1 - 1)
+    dropped = (~kept0[b, i0c] & (i0 >= 0)) | (~kept1[b, i1c] & (i1 >= 0))
+    neg_flag = has_neg | dropped
+    i0_eff = jnp.where(neg_flag, nb0, i0c)
+    i1_eff = jnp.where(neg_flag, nb1, i1c)
+    return b, i0_eff, i1_eff, neg_flag & gt_valid, gt_valid
+
+
+def training_forward(
+    variables,
+    mcfg: MatcherConfig,
+    acfg: AGCConfig,
+    kpts0, desc0, valid0,
+    kpts1, desc1, valid1,
+    gt_rows, gt_valid,
+    image_shape,
+    k0=None, k1=None,
+    mutable=("batch_stats",),
+):
+    """Train-mode forward returning (total, pos, neg) losses.
+
+    Loss parity: reference models/gmatcher.py:369-386 — coupling values at
+    GT indices clamped to [-100, 0], negated, averaged per batch item
+    separately over positive and negative rows (torch_scatter.scatter_mean),
+    then weighted and averaged over the batch.
+    """
+    batch = kpts0.shape[0]
+    nb0, nb1 = kpts0.shape[1], kpts1.shape[1]
+    adj0, kept0 = run_agc(kpts0, desc0, valid0, acfg, k0)
+    adj1, kept1 = run_agc(kpts1, desc1, valid1, acfg, k1)
+
+    h, w = image_shape
+    kpts0n = normalize_keypoints(kpts0, h, w, mcfg.normalization)
+    kpts1n = normalize_keypoints(kpts1, h, w, mcfg.normalization)
+
+    out, updates = GMatcher(mcfg).apply(
+        variables, kpts0n, desc0, adj0, kept0, kpts1n, desc1, adj1, kept1,
+        train=True, mutable=list(mutable),
+    )
+    Z = out["Z"]
+
+    b, i0_eff, i1_eff, neg_flag, row_valid = remap_gt_to_dustbin(
+        gt_rows, gt_valid, kept0, kept1, nb0, nb1
+    )
+    vals = Z[b, i0_eff, i1_eff]
+    vals = jnp.clip(vals, -100.0, 0.0)
+    loss_vec = -vals
+
+    pos_w = (row_valid & ~neg_flag).astype(jnp.float32)
+    neg_w = (row_valid & neg_flag).astype(jnp.float32)
+    pos_sum = jax.ops.segment_sum(loss_vec * pos_w, b, num_segments=batch)
+    pos_cnt = jax.ops.segment_sum(pos_w, b, num_segments=batch)
+    neg_sum = jax.ops.segment_sum(loss_vec * neg_w, b, num_segments=batch)
+    neg_cnt = jax.ops.segment_sum(neg_w, b, num_segments=batch)
+    batched_pos = pos_sum / jnp.maximum(pos_cnt, 1.0)
+    batched_neg = neg_sum / jnp.maximum(neg_cnt, 1.0)
+    pos_loss = mcfg.pos_loss_weight * jnp.mean(batched_pos)
+    neg_loss = mcfg.neg_loss_weight * jnp.mean(batched_neg)
+    total = pos_loss + neg_loss
+    return total, (pos_loss, neg_loss, updates)
