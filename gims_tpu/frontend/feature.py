@@ -1,0 +1,64 @@
+"""Full feature frontend: image -> keypoints + 256-d descriptors.
+
+Equivalent of the reference's sift_forward (reference:
+utils/common.py:837-893): host SIFT detect, device pyramid + patch warp,
+CAR-HyNet descriptors, and the reference's 128->256 duplication
+(reference: utils/common.py:891 torch.cat([d, d], dim=1)).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from gims_tpu.config import FrontendConfig
+from gims_tpu.carhynet.engine import DescriptorEngine
+from gims_tpu.frontend.sift import detect, KeypointArrays
+from gims_tpu.frontend.pyramid import pyramid_from_uint8
+from gims_tpu.frontend.patches import extract_patches
+
+
+class FeatureFrontend:
+    """Stateful wrapper holding the descriptor engine + compiled programs."""
+
+    def __init__(self, cfg: Optional[FrontendConfig] = None,
+                 engine: Optional[DescriptorEngine] = None,
+                 weights_path: Optional[str] = None):
+        self.cfg = cfg or FrontendConfig()
+        self.engine = engine or DescriptorEngine(weights_path=weights_path)
+        self.timings = {}
+
+    def extract(
+        self,
+        image_bgr: np.ndarray,
+        max_keypoints: Optional[int] = None,
+        train_topup: bool = False,
+        rng: Optional[np.random.RandomState] = None,
+    ):
+        """image_bgr: (H, W, 3) uint8.
+
+        Returns dict: keypoints (N,2) f32, scores (N,) f32,
+        descriptors (N, 256) f32, kp (KeypointArrays).
+        """
+        t0 = time.perf_counter()
+        kp = detect(image_bgr, self.cfg, max_keypoints, train_topup, rng)
+        t1 = time.perf_counter()
+        h, w = image_bgr.shape[:2]
+        pyramid = pyramid_from_uint8(jnp.asarray(image_bgr), h, w)
+        patches = extract_patches(pyramid, kp, self.cfg.interpolation)
+        t2 = time.perf_counter()
+        desc128 = self.engine.compute(patches)
+        desc256 = np.concatenate([desc128, desc128], axis=1)
+        t3 = time.perf_counter()
+        self.timings = {
+            "detect": t1 - t0, "patches": t2 - t1, "descriptors": t3 - t2,
+        }
+        return {
+            "keypoints": kp.pt.copy(),
+            "scores": kp.response.copy(),
+            "descriptors": desc256,
+            "kp": kp,
+        }

@@ -1,0 +1,165 @@
+"""Batched affine patch extraction on device.
+
+Replaces the reference's per-keypoint cv2.warpAffine loop (reference:
+utils/library.py:84-110 `ComputePatches` — the 3-4 s/image hot loop in
+BASELINE.md) with one vmapped bicubic gather per octave: all keypoints of
+an octave are warped by a single XLA program.
+
+Geometry parity: for keypoint (pt, size, angle, octave, layer, scale) the
+forward affine is A = R(deg2rad(360-angle))/step with step =
+size*scale*0.5, translated so the rotated point lands at the patch center
+r = (64-1)/2; the source level is pyramid[octave+1][layer]. cv2.warpAffine
+inverts A internally, so we sample src = A^{-1} dst directly. Sampling is
+Keys bicubic (a = -0.75, like INTER_CUBIC) with constant-zero border, then
+an exact 2x2 box average (INTER_AREA 64->32) and /255.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gims_tpu.core.bucketing import bucket_size
+from gims_tpu.frontend.sift import KeypointArrays
+
+WARP_SIZE = 64
+OUT_SIZE = 32
+FLT_EPSILON = 1.19209e-07
+KP_BUCKETS = (64, 256, 1024, 4096, 8192, 16384, 32768)
+
+
+def inverse_affines(kp: KeypointArrays) -> np.ndarray:
+    """(N, 2, 3) mapping dst patch pixel -> source pyramid-level pixel."""
+    step = kp.size * kp.scale * 0.5
+    ptf = kp.pt * kp.scale[:, None]
+    angle = 360.0 - kp.angle
+    angle = np.where(np.abs(angle - 360.0) < FLT_EPSILON, 0.0, angle)
+    phi = np.deg2rad(angle)
+    s, c = np.sin(phi), np.cos(phi)
+    r = (WARP_SIZE - 1) / 2.0
+
+    # forward: A = R/step, t = r - A @ ptf;  inverse: L = step*R^T
+    # src = L @ (dst - t) = L @ dst + (ptf - L @ [r, r])
+    L = np.empty((len(kp), 2, 2), np.float32)
+    L[:, 0, 0] = c * step
+    L[:, 0, 1] = s * step
+    L[:, 1, 0] = -s * step
+    L[:, 1, 1] = c * step
+    t = ptf - np.einsum("nij,j->ni", L, np.array([r, r], np.float32))
+    return np.concatenate([L, t[:, :, None]], axis=2).astype(np.float32)
+
+
+def _cubic_weights(t):
+    """OpenCV INTER_CUBIC (Keys, A=-0.75) weights for offsets -1, 0, 1, 2."""
+    A = -0.75
+    w0 = ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A
+    w1 = ((A + 2) * t - (A + 3)) * t * t + 1
+    w2 = ((A + 2) * (1 - t) - (A + 3)) * (1 - t) * (1 - t) + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return [w0, w1, w2, w3]
+
+
+def _linear_weights(t):
+    return [1.0 - t, t]
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
+    """levels: (L, H, W, C) f32; level_idx: (K,) i32; ainv: (K, 2, 3).
+
+    Returns (K, 32, 32, C) f32 (0..255 range preserved; caller normalizes).
+    """
+    lnum, h, w, c = levels.shape
+    kcount = level_idx.shape[0]
+
+    xs = jnp.arange(WARP_SIZE, dtype=jnp.float32)
+    gx = jnp.broadcast_to(xs[None, :], (WARP_SIZE, WARP_SIZE))
+    gy = jnp.broadcast_to(xs[:, None], (WARP_SIZE, WARP_SIZE))
+
+    # src coordinates per keypoint per dst pixel
+    sx = (
+        ainv[:, 0, 0, None, None] * gx
+        + ainv[:, 0, 1, None, None] * gy
+        + ainv[:, 0, 2, None, None]
+    )  # (K, 64, 64)
+    sy = (
+        ainv[:, 1, 0, None, None] * gx
+        + ainv[:, 1, 1, None, None] * gy
+        + ainv[:, 1, 2, None, None]
+    )
+
+    fx = jnp.floor(sx)
+    fy = jnp.floor(sy)
+    tx = sx - fx
+    ty = sy - fy
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+
+    if interpolation == "cubic":
+        wx = _cubic_weights(tx)
+        wy = _cubic_weights(ty)
+        offs = (-1, 0, 1, 2)
+    else:
+        wx = _linear_weights(tx)
+        wy = _linear_weights(ty)
+        offs = (0, 1)
+
+    flat = levels.reshape(lnum * h * w, c)
+    base = level_idx[:, None, None] * (h * w)
+
+    acc = jnp.zeros((kcount, WARP_SIZE, WARP_SIZE, c), jnp.float32)
+    for a, dy in enumerate(offs):
+        yy = iy + dy
+        y_ok = (yy >= 0) & (yy < h)
+        yc = jnp.clip(yy, 0, h - 1)
+        for b, dx in enumerate(offs):
+            xx = ix + dx
+            ok = y_ok & (xx >= 0) & (xx < w)
+            xc = jnp.clip(xx, 0, w - 1)
+            idx = base + yc * w + xc
+            vals = jnp.take(flat, idx, axis=0)  # (K, 64, 64, C)
+            wgt = (wy[a] * wx[b]) * ok.astype(jnp.float32)
+            acc = acc + vals * wgt[..., None]
+
+    # INTER_AREA 64 -> 32 == exact 2x2 box average
+    acc = acc.reshape(kcount, OUT_SIZE, 2, OUT_SIZE, 2, c).mean(axis=(2, 4))
+    return acc
+
+
+def extract_patches(
+    pyramid,                 # sequence of (6, H_o, W_o, C) device arrays
+    kp: KeypointArrays,
+    interpolation: str = "cubic",
+) -> np.ndarray:
+    """All keypoints -> (N, 32, 32, C) f32 patches in [0, 1].
+
+    Groups keypoints by octave on the host, pads each group to a bucket,
+    and runs one compiled warp per (octave shape, bucket).
+    """
+    n = len(kp)
+    if n == 0:
+        ch = int(pyramid[0].shape[-1]) if len(pyramid) else 3
+        return np.zeros((0, OUT_SIZE, OUT_SIZE, ch), np.float32)
+    ainv = inverse_affines(kp)
+    oct_index = kp.octave + 1  # firstOctave = -1
+    out = np.empty(
+        (n, OUT_SIZE, OUT_SIZE, int(pyramid[0].shape[-1])), np.float32
+    )
+    for o in range(len(pyramid)):
+        sel = np.nonzero(oct_index == o)[0]
+        if sel.size == 0:
+            continue
+        kb = bucket_size(sel.size, KP_BUCKETS)
+        lv = np.zeros((kb,), np.int32)
+        av = np.zeros((kb, 2, 3), np.float32)
+        lv[: sel.size] = kp.layer[sel]
+        av[: sel.size] = ainv[sel]
+        patches = warp_patches_level(
+            pyramid[o], jnp.asarray(lv), jnp.asarray(av), interpolation
+        )
+        out[sel] = np.asarray(patches)[: sel.size]
+    return out / 255.0
