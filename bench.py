@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Headline benchmark: matched pairs/sec at 800x600 end-to-end.
+
+Mirrors the reference's headline scenario (BASELINE.md: matcher latency
+14.2-17.2 s/pair on an RTX 3090 => ~0.0637 pairs/s) with the published
+eval knobs: sinkhorn_iterations=20, match_threshold=0.02, AGC r=15/p=2/m=7
+(reference: eval_homography.py:113-124). Images are synthetic textured
+pairs (the environment ships no datasets); keypoint counts are capped at
+12288 to pin one compile bucket, matching the reference's ~15k-keypoint
+regime.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_PAIRS_PER_SEC = 1.0 / 15.7  # mid of 14.2-17.2 s/pair
+
+
+def make_images(n_pairs, h=600, w=800):
+    import cv2
+    import numpy as np
+
+    pairs = []
+    for i in range(n_pairs):
+        rng = np.random.RandomState(1000 + i)
+        img = rng.randint(0, 255, (h // 4, w // 4, 3)).astype("uint8")
+        img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+        img = cv2.GaussianBlur(img, (0, 0), 1.2)
+        angle = rng.uniform(-15, 15)
+        M = cv2.getRotationMatrix2D((w / 2, h / 2), angle,
+                                    rng.uniform(0.85, 1.1))
+        H = np.eye(3, dtype=np.float32)
+        H[:2] = M
+        warped = cv2.warpPerspective(img, H, (w, h))
+        pairs.append((img, warped))
+    return pairs
+
+
+def main():
+    t_start = time.time()
+    try:
+        import numpy as np
+
+        from gims_tpu.api import Matching
+
+        matcher = Matching({
+            "sinkhorn_iterations": 20,
+            "match_threshold": 0.02,
+            "max_keypoints": 12288,
+        })
+
+        pairs = make_images(6)
+        agc = {"radius": 15, "percentile": 2, "min_size": 7}
+
+        def run(pair):
+            img0, img1 = pair
+            return matcher({
+                "image0": img0[None], "image1": img1[None], **agc,
+            })
+
+        # warmup / compile (two pairs to cover residual bucket jitter)
+        for p in pairs[:2]:
+            run(p)
+
+        timed = pairs[2:]
+        t0 = time.perf_counter()
+        total_matches = 0
+        for p in timed:
+            pred = run(p)
+            total_matches += int((pred["matches0"][0] > -1).sum())
+        elapsed = time.perf_counter() - t0
+        fps = len(timed) / elapsed
+
+        import jax
+
+        out = {
+            "metric": "matched_pairs_per_sec_800x600",
+            "value": round(fps, 4),
+            "unit": "pairs/s",
+            "vs_baseline": round(fps / BASELINE_PAIRS_PER_SEC, 2),
+            "pairs_timed": len(timed),
+            "sec_per_pair": round(elapsed / len(timed), 4),
+            "avg_matches": total_matches // max(len(timed), 1),
+            "backend": jax.devices()[0].platform,
+            "timings_last_pair": {
+                k: round(v, 4) for k, v in matcher.timings.items()
+            },
+            "total_wall_s": round(time.time() - t_start, 1),
+        }
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        out = {
+            "metric": "matched_pairs_per_sec_800x600",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Public matching API — preserves the reference's dict contract.
+
+`Matching` mirrors reference models/matching.py:8-30: feed a dict with
+`image0`/`image1` (numpy (1,H,W,3) or (H,W,3) uint8 BGR) and optional AGC
+knobs; receive keypoints/descriptors/matches/matching_scores/mdesc per
+side. Keypoint sets in the output are the AGC-kept subsets, exactly like
+the reference's graph-pruned node data (reference: models/gmatcher.py:
+244-252), with matches indexed into those compacted sets.
+
+TPU structure: the frontend runs per image (host SIFT + device pyramid /
+patches / CNN); the matcher core is one jitted program per
+(bucket0, bucket1) pair.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gims_tpu.config import GIMSConfig, AGCConfig, MatcherConfig, FrontendConfig
+from gims_tpu.core.bucketing import pad_keypoint_set, compact_indices
+from gims_tpu.frontend.feature import FeatureFrontend
+from gims_tpu.matcher import pipeline
+from gims_tpu.matcher.gmatcher import GMatcher
+from gims_tpu.agc.graph import delaunay_adjacency_host
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _jit_forward(variables, mcfg, acfg, image_shape,
+                 kpts0, desc0, valid0, kpts1, desc1, valid1, k0, k1):
+    return pipeline.forward_match(
+        variables, mcfg, acfg, kpts0, desc0, valid0, kpts1, desc1, valid1,
+        image_shape, k0=k0, k1=k1,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _jit_forward_adj(variables, mcfg, image_shape,
+                     kpts0, desc0, valid0, adj0, kpts1, desc1, valid1, adj1):
+    return pipeline.forward_match(
+        variables, mcfg, AGCConfig(), kpts0, desc0, valid0,
+        kpts1, desc1, valid1, image_shape, adj0=adj0, adj1=adj1,
+    )
+
+
+def _as_hw3(img):
+    img = np.asarray(img)
+    if img.ndim == 4:
+        img = img[0]
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    return np.ascontiguousarray(img.astype(np.uint8))
+
+
+class Matching:
+    """Image matching front API.
+
+    config accepts the reference's keys (weights_path, sinkhorn_iterations,
+    match_threshold, max_keypoints) or a full GIMSConfig.
+    """
+
+    def __init__(self, config=None, variables=None,
+                 frontend: Optional[FeatureFrontend] = None, seed: int = 0):
+        if isinstance(config, GIMSConfig):
+            self.cfg = config
+            self.max_keypoints = config.frontend.max_keypoints
+        else:
+            config = dict(config or {})
+            mcfg = MatcherConfig(
+                sinkhorn_iterations=config.get("sinkhorn_iterations", 100),
+                match_threshold=config.get("match_threshold", 0.2),
+            )
+            self.cfg = GIMSConfig(matcher=mcfg)
+            self.max_keypoints = config.get("max_keypoints", -1)
+            weights_path = config.get("weights_path")
+            if variables is None and weights_path:
+                from gims_tpu.matcher.convert import load_gims_checkpoint
+
+                variables = load_gims_checkpoint(weights_path)
+                print(f'Loaded GMatcher model ("{weights_path}" weights)')
+
+        if variables is None:
+            variables = init_gmatcher_variables(self.cfg.matcher, seed)
+        self.variables = variables
+        self.frontend = frontend or FeatureFrontend(self.cfg.frontend)
+        self.timings = {}
+
+    def __call__(self, data: dict) -> dict:
+        mcfg = self.cfg.matcher
+        acfg = AGCConfig(
+            radius=float(data.get("radius", self.cfg.agc.radius)),
+            percentile=float(data.get("percentile", self.cfg.agc.percentile)),
+            min_size=int(data.get("min_size", self.cfg.agc.min_size)),
+            delaunay=bool(data.get("delaunay", self.cfg.agc.delaunay)),
+            cc_rounds=self.cfg.agc.cc_rounds,
+        )
+
+        feats = {}
+        t0 = time.perf_counter()
+        for side in ("0", "1"):
+            if f"keypoints{side}" in data:
+                feats[side] = {
+                    "keypoints": np.asarray(data[f"keypoints{side}"]),
+                    "descriptors": np.asarray(data[f"descriptors{side}"]),
+                    "scores": np.asarray(data[f"scores{side}"]),
+                }
+            else:
+                img = _as_hw3(data[f"image{side}"])
+                feats[side] = self.frontend.extract(
+                    img, max_keypoints=self.max_keypoints
+                )
+        t1 = time.perf_counter()
+
+        img0 = _as_hw3(data["image0"])
+        image_shape = tuple(img0.shape[:2])
+
+        f0, f1 = feats["0"], feats["1"]
+        # reference stores descriptors (256, N); accept both orientations
+        d0 = _desc_nd(f0["descriptors"])
+        d1 = _desc_nd(f1["descriptors"])
+        kp0p, de0p, sc0p, m0 = pad_keypoint_set(f0["keypoints"], d0, f0["scores"])
+        kp1p, de1p, sc1p, m1 = pad_keypoint_set(f1["keypoints"], d1, f1["scores"])
+        n0, n1 = len(f0["keypoints"]), len(f1["keypoints"])
+
+        if acfg.delaunay:
+            adj0 = delaunay_adjacency_host(kp0p, m0)
+            adj1 = delaunay_adjacency_host(kp1p, m1)
+            out = _jit_forward_adj(
+                self.variables, mcfg, image_shape,
+                jnp.asarray(kp0p)[None], jnp.asarray(de0p)[None],
+                jnp.asarray(m0)[None], jnp.asarray(adj0)[None],
+                jnp.asarray(kp1p)[None], jnp.asarray(de1p)[None],
+                jnp.asarray(m1)[None], jnp.asarray(adj1)[None],
+            )
+        else:
+            k0 = pipeline.percentile_rank(n0, acfg.percentile)
+            k1 = pipeline.percentile_rank(n1, acfg.percentile)
+            out = _jit_forward(
+                self.variables, mcfg, acfg, image_shape,
+                jnp.asarray(kp0p)[None], jnp.asarray(de0p)[None],
+                jnp.asarray(m0)[None],
+                jnp.asarray(kp1p)[None], jnp.asarray(de1p)[None],
+                jnp.asarray(m1)[None],
+                jnp.asarray([k0], np.int32), jnp.asarray([k1], np.int32),
+            )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        t2 = time.perf_counter()
+        self.timings = {
+            "frontend": t1 - t0, "matcher": t2 - t1,
+            **{f"frontend_{k}": v for k, v in self.frontend.timings.items()},
+        }
+        return self._compact(out, kp0p, de0p, sc0p, kp1p, de1p, sc1p)
+
+    def _compact(self, out, kp0p, de0p, sc0p, kp1p, de1p, sc1p):
+        kept0 = out["kept0"][0]
+        kept1 = out["kept1"][0]
+        new0, old0 = compact_indices(kept0)
+        new1, old1 = compact_indices(kept1)
+
+        def remap(matches, new_other):
+            m = matches.astype(np.int64)
+            return np.where(m >= 0, new_other[np.clip(m, 0, None)], -1)
+
+        matches0 = remap(out["matches0"][0][old0], new1)
+        matches1 = remap(out["matches1"][0][old1], new0)
+        return {
+            "keypoints0": kp0p[old0][None],
+            "keypoints1": kp1p[old1][None],
+            "scores0": sc0p[old0][None],
+            "scores1": sc1p[old1][None],
+            "descriptors0": de0p[old0].T[None],
+            "descriptors1": de1p[old1].T[None],
+            "matches0": matches0.astype(np.int32)[None],
+            "matches1": matches1.astype(np.int32)[None],
+            "matching_scores0": out["matching_scores0"][0][old0][None],
+            "matching_scores1": out["matching_scores1"][0][old1][None],
+            "mdesc0": out["mdesc0"][0][old0],
+            "mdesc1": out["mdesc1"][0][old1],
+        }
+
+
+def _desc_nd(d):
+    d = np.asarray(d, np.float32)
+    if d.ndim == 2 and d.shape[0] in (128, 256) and d.shape[0] < d.shape[1]:
+        return d.T  # (C, N) -> (N, C)
+    return d
+
+
+def init_gmatcher_variables(mcfg: MatcherConfig, seed: int = 0, nb: int = 32):
+    gm = GMatcher(mcfg)
+    z = lambda *s: jnp.zeros(s)
+    return gm.init(
+        jax.random.PRNGKey(seed),
+        z(1, nb, 2), z(1, nb, mcfg.input_dim), jnp.zeros((1, nb, nb), bool),
+        jnp.ones((1, nb), bool),
+        z(1, nb, 2), z(1, nb, mcfg.input_dim), jnp.zeros((1, nb, nb), bool),
+        jnp.ones((1, nb), bool),
+    )

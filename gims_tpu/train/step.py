@@ -1,0 +1,185 @@
+"""Training step: optimizer, LR schedule, EMA, and data-parallel wiring.
+
+Optimizer parity with reference train.py:42-58: Adam(0.9, 0.999) with
+torch-style L2 weight decay (added to the gradient) applied ONLY to
+module weights — biases, norm scales, and bin_score are decay-free.
+LR schedule parity with train.py:87,101-105 + change_lr (train.py:21-26):
+linear warmup over warmup_epochs*num_batches steps, then per-epoch
+exponential decay after step_epoch.
+
+Data parallelism is jax.sharding.Mesh + shard_map with lax.pmean gradient
+all-reduce — the ICI-native replacement for DDP/NCCL (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gims_tpu.config import GIMSConfig
+from gims_tpu.matcher import pipeline
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    ema_updates: jnp.ndarray
+
+
+def weight_decay_mask(params):
+    """True for Dense/Conv kernels only (reference pg1, train.py:50-51)."""
+    def mask_fn(path, leaf):
+        last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return last == "kernel"
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def lr_schedule(cfg: GIMSConfig, num_batches: int):
+    o = cfg.optimizer
+    warmup = o.warmup_epochs * num_batches
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        epoch = jnp.floor(step / num_batches)
+        decay = jnp.where(
+            epoch >= o.step_epoch,
+            o.step_value ** (epoch - o.step_epoch),
+            1.0,
+        )
+        base = o.lr * decay
+        warm = o.lr * step / jnp.maximum(warmup, 1)
+        return jnp.where(step < warmup, warm, base)
+
+    return fn
+
+
+def make_optimizer(cfg: GIMSConfig, num_batches: int, params):
+    sched = lr_schedule(cfg, num_batches)
+    wd = cfg.optimizer.weight_decay
+    mask = weight_decay_mask(params)
+    if cfg.optimizer.opt_type.lower() == "adam":
+        core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        core = optax.trace(decay=0.9, nesterov=True)
+    return optax.chain(
+        optax.masked(optax.add_decayed_weights(wd), mask),
+        core,
+        optax.scale_by_schedule(lambda s: -sched(s)),
+    )
+
+
+def create_train_state(cfg: GIMSConfig, variables, num_batches: int):
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, num_batches, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=params if cfg.train.use_ema else None,
+        ema_updates=jnp.zeros((), jnp.int32),
+    ), tx
+
+
+def ema_update(ema_params, params, updates, decay=0.9999):
+    """Reference ModelEMA ramp (utils/common.py:995-1015)."""
+    updates = updates + 1
+    d = decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / 4000.0))
+    new = jax.tree_util.tree_map(
+        lambda e, p: e * d + (1.0 - d) * p, ema_params, params
+    )
+    return new, updates
+
+
+def make_train_step(cfg: GIMSConfig, tx, image_shape, axis_name=None):
+    """Returns step(state, batch) -> (state, metrics).
+
+    batch: dict with kpts0/desc0/valid0/kpts1/desc1/valid1 (B leading dim)
+    and per-item gt_rows (B, R, 3) / gt_valid (B, R); the rows' batch
+    column is rewritten locally so the same arrays shard cleanly over the
+    data axis.
+    """
+    mcfg, acfg = cfg.matcher, cfg.agc
+
+    def step(state: TrainState, batch):
+        bsz, nrows, _ = batch["gt_rows"].shape
+        b_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), nrows)
+        rows = batch["gt_rows"].reshape(bsz * nrows, 3)
+        rows = jnp.concatenate([b_idx[:, None], rows[:, 1:]], axis=1)
+        gt_valid = batch["gt_valid"].reshape(bsz * nrows)
+
+        def loss_fn(params):
+            total, (pos, neg, updates) = pipeline.training_forward(
+                {"params": params, "batch_stats": state.batch_stats},
+                mcfg, acfg,
+                batch["kpts0"], batch["desc0"], batch["valid0"],
+                batch["kpts1"], batch["desc1"], batch["valid1"],
+                rows, gt_valid,
+                image_shape,
+            )
+            return total, (pos, neg, updates)
+
+        (total, (pos, neg, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        metrics = {"total_loss": total, "pos_loss": pos, "neg_loss": neg}
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+            updates = jax.lax.pmean(updates, axis_name)
+
+        upd, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        ema_params, ema_updates = state.ema_params, state.ema_updates
+        if ema_params is not None:
+            ema_params, ema_updates = ema_update(
+                ema_params, params, ema_updates
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+            ema_params=ema_params,
+            ema_updates=ema_updates,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_distributed_train_step(cfg: GIMSConfig, tx, image_shape,
+                                mesh: Mesh, axis_name: str = "data"):
+    """shard_map the step over the data axis: batch rows sharded, state
+    replicated, gradients pmean-reduced over ICI."""
+    inner = make_train_step(cfg, tx, image_shape, axis_name=axis_name)
+
+    state_spec = P()  # replicated
+    batch_spec = {
+        "kpts0": P(axis_name), "desc0": P(axis_name), "valid0": P(axis_name),
+        "kpts1": P(axis_name), "desc1": P(axis_name), "valid1": P(axis_name),
+        "gt_rows": P(axis_name), "gt_valid": P(axis_name),
+    }
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(state_spec, batch_spec),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    def sharded_step(state, batch):
+        return inner(state, batch)
+
+    return jax.jit(sharded_step)

@@ -1,0 +1,234 @@
+"""Training stack tests: GT matcher parity vs a numpy oracle, LR schedule
+parity, homography synthesis sanity, single-device train step, and the
+8-device DP mesh step (CPU simulation of the ICI all-reduce)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gims_tpu.config import GIMSConfig, AGCConfig, MatcherConfig, OptimizerConfig
+from gims_tpu.train import gt as gt_mod
+from gims_tpu.train import step as step_mod
+from gims_tpu.train import data as data_mod
+from gims_tpu.api import init_gmatcher_variables
+
+
+def oracle_find_matches(kpts0, kpts1, H, dist_thresh=3.0, n_iters=1):
+    """Numpy oracle of the reference algorithm (iterative mutual-argmin
+    with removal, preprocess_utils.py:98-132)."""
+    def warp(k):
+        src = np.concatenate([k, np.ones((len(k), 1))], 1)
+        dst = src @ H.T
+        return dst[:, :2] / dst[:, 2:3]
+
+    proj = warp(kpts0)
+    miss0 = list(range(len(kpts0)))
+    miss1 = list(range(len(kpts1)))
+    ma0, ma1 = [], []
+    for _ in range(n_iters):
+        if not miss0 or not miss1:
+            break
+        d = np.linalg.norm(
+            proj[miss0][:, None, :] - kpts1[miss1][None, :, :], axis=-1
+        )
+        m1 = d.argmin(1)
+        m0 = d.argmin(0)
+        inter2 = np.where(m1[m0] == np.arange(len(m0)))[0]
+        inter1 = m0[inter2]
+        okd = d[inter1, inter2] < dist_thresh
+        inter1, inter2 = inter1[okd], inter2[okd]
+        new0 = [miss0[i] for i in inter1]
+        new1 = [miss1[j] for j in inter2]
+        ma0 += new0
+        ma1 += new1
+        miss0 = [i for i in miss0 if i not in set(new0)]
+        miss1 = [j for j in miss1 if j not in set(new1)]
+    return dict(zip(ma0, ma1)), set(miss0), set(miss1)
+
+
+@pytest.mark.parametrize("n_iters", [1, 3])
+def test_find_matches_vs_oracle(rng, n_iters):
+    n0, n1 = 60, 70
+    kpts0 = rng.rand(n0, 2).astype(np.float32) * 200
+    H = np.array([[1.0, 0.03, 5.0], [-0.02, 0.98, -4.0], [1e-5, 0, 1.0]],
+                 np.float32)
+    # half of side1 = warped side0 points (+noise), half random
+    src = np.concatenate([kpts0, np.ones((n0, 1), np.float32)], 1) @ H.T
+    warped = src[:, :2] / src[:, 2:3]
+    kpts1 = np.concatenate([
+        warped[: n1 // 2] + rng.randn(n1 // 2, 2).astype(np.float32) * 0.5,
+        rng.rand(n1 - n1 // 2, 2).astype(np.float32) * 200,
+    ])
+    want_map, want_miss0, want_miss1 = oracle_find_matches(
+        kpts0, kpts1, H, 3.0, n_iters
+    )
+    m0, m1 = gt_mod.find_matches(
+        jnp.asarray(kpts0), jnp.asarray(kpts1), jnp.asarray(H),
+        jnp.ones(n0, bool), jnp.ones(n1, bool), 3.0, n_iters,
+    )
+    m0 = np.asarray(m0)
+    got_map = {i: int(m0[i]) for i in range(n0) if m0[i] >= 0}
+    assert got_map == want_map
+    assert set(np.nonzero(m0 < 0)[0]) == want_miss0
+    m1 = np.asarray(m1)
+    assert set(np.nonzero(m1 < 0)[0]) == want_miss1
+    # consistency of the two directions
+    for i, j in got_map.items():
+        assert m1[j] == i
+
+
+def test_gt_rows_layout(rng):
+    m0 = jnp.asarray([2, -1, 0], jnp.int32)
+    m1 = jnp.asarray([2, -1, 0, -1], jnp.int32)
+    rows, valid = gt_mod.build_gt_rows(
+        m0, m1, jnp.ones(3, bool), jnp.asarray([True, True, True, False]),
+        batch_index=5,
+    )
+    rows = np.asarray(rows)
+    valid = np.asarray(valid)
+    np.testing.assert_array_equal(rows[:3], [[5, 0, 2], [5, 1, -1], [5, 2, 0]])
+    np.testing.assert_array_equal(rows[3:], [[5, -1, 0], [5, -1, 1],
+                                             [5, -1, 2], [5, -1, 3]])
+    # side-1 rows valid only when unmatched and real
+    np.testing.assert_array_equal(valid[3:], [False, True, False, False])
+
+
+def test_lr_schedule_parity():
+    cfg = GIMSConfig(optimizer=OptimizerConfig(
+        lr=1e-3, warmup_epochs=1, step_epoch=2, step_value=0.5,
+    ))
+    sched = step_mod.lr_schedule(cfg, num_batches=10)
+    # warmup: np.interp(ni, [0, 10], [0, lr])
+    np.testing.assert_allclose(float(sched(0)), 0.0)
+    np.testing.assert_allclose(float(sched(5)), 5e-4, rtol=1e-6)
+    # after warmup, before step_epoch
+    np.testing.assert_allclose(float(sched(15)), 1e-3, rtol=1e-6)
+    # epoch 3 => decay 0.5^(3-2)
+    np.testing.assert_allclose(float(sched(35)), 5e-4, rtol=1e-6)
+
+
+def test_weight_decay_mask():
+    variables = init_gmatcher_variables(MatcherConfig(
+        descriptor_dim=64, keypoint_encoder=(32,), num_gnn_layers=2,
+        input_dim=64, sinkhorn_iterations=2,
+    ))
+    mask = step_mod.weight_decay_mask(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, val in flat:
+        name = path[-1].key
+        if name == "kernel":
+            assert val
+        else:
+            assert not val, name
+
+
+def test_homography_synthesis_shapes():
+    cfg = GIMSConfig().dataset
+    ds = data_mod.SyntheticPairDataset(cfg, length=3, seed=0)
+    img, warped, H = ds[0]
+    assert img.shape == (480, 640, 3)
+    assert warped.shape == (480, 640, 3)
+    assert H.shape == (3, 3)
+    assert H.dtype == np.float32
+    # warp consistency: corners of warped content come from img via H
+    assert np.abs(H[2, 2] - 1.0) < 1e-6
+
+
+def _tiny_cfg():
+    return GIMSConfig(
+        matcher=MatcherConfig(
+            descriptor_dim=64, keypoint_encoder=(32, 64), num_gnn_layers=4,
+            sinkhorn_iterations=5, input_dim=64,
+        ),
+        agc=AGCConfig(radius=60.0, percentile=10.0, min_size=2),
+    )
+
+
+def _tiny_batch(rng, b, nb=40, d=64):
+    r = 2 * nb
+    return {
+        "kpts0": jnp.asarray(rng.rand(b, nb, 2).astype(np.float32) * 300),
+        "desc0": jnp.asarray(rng.randn(b, nb, d).astype(np.float32)),
+        "valid0": jnp.ones((b, nb), bool),
+        "kpts1": jnp.asarray(rng.rand(b, nb, 2).astype(np.float32) * 300),
+        "desc1": jnp.asarray(rng.randn(b, nb, d).astype(np.float32)),
+        "valid1": jnp.ones((b, nb), bool),
+        "gt_rows": jnp.asarray(rng.randint(-1, nb, (b, r, 3)).astype(np.int32)),
+        "gt_valid": jnp.ones((b, r), bool),
+    }
+
+
+def test_single_device_train_step(rng):
+    cfg = _tiny_cfg()
+    variables = init_gmatcher_variables(cfg.matcher)
+    state, tx = step_mod.create_train_state(cfg, variables, num_batches=100)
+    step = jax.jit(step_mod.make_train_step(cfg, tx, (480, 640)))
+    batch = _tiny_batch(rng, b=2)
+    state1, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state1.step) == 1
+    # step 0 has lr=0 (warmup); params must move on step 1
+    state2, _ = step(state1, batch)
+    moved = [
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state1.params),
+            jax.tree_util.tree_leaves(state2.params),
+        )
+    ]
+    assert max(moved) > 0
+
+
+def test_multichip_dp_step_matches_single(rng):
+    """8-device DP step == single-device step on the same global batch.
+
+    Uses LayerNorm instead of BatchNorm: with unsynced BN (the reference's
+    default, sync_bn=false) per-device batch statistics legitimately differ
+    from global-batch statistics, so only the norm-free-of-batch-coupling
+    model admits an exact equivalence check of the DP wiring."""
+    from jax.sharding import Mesh
+    import dataclasses
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, matcher=dataclasses.replace(cfg.matcher, use_layernorm=True)
+    )
+    variables = init_gmatcher_variables(cfg.matcher)
+    batch = _tiny_batch(rng, b=8)
+
+    state_a, tx_a = step_mod.create_train_state(cfg, variables, 100)
+    single = jax.jit(step_mod.make_train_step(cfg, tx_a, (480, 640)))
+    sa, ma = single(state_a, batch)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    state_b, tx_b = step_mod.create_train_state(cfg, variables, 100)
+    dist = step_mod.make_distributed_train_step(cfg, tx_b, (480, 640), mesh)
+    sb, mb = dist(state_b, batch)
+
+    # batch-mean losses of the single step == pmean of per-device losses
+    np.testing.assert_allclose(
+        float(ma["total_loss"]), float(mb["total_loss"]), rtol=2e-4
+    )
+    pa = jax.tree_util.tree_leaves(sa.params)
+    pb = jax.tree_util.tree_leaves(sb.params)
+    for a, b_ in zip(pa, pb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-5
+        )
+
+
+def test_graft_entry():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    mod.dryrun_multichip(8)
