@@ -1,0 +1,268 @@
+"""Homography-benchmark evaluation harness.
+
+Parity with reference eval_homography.py:107-268: per pair — match, RANSAC
+homography + DLT from the top-4 confidence matches, corner-projection
+pixel error vs GT, precision/recall vs reprojection GT — then aggregate
+AUC@{5,10,25}. Writes the same `{stem}_matches.npz` / `{stem}_evaluation.npz`
+artifacts.
+
+Because this environment ships no COCO test assets (and has zero egress),
+`generate_benchmark` can synthesize a deterministic stand-in set with the
+same file contract ('name h00..h22' lines) from any image directory or
+from procedural textures.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from pathlib import Path
+from typing import Optional
+
+import cv2
+import numpy as np
+
+from gims_tpu.api import Matching
+from gims_tpu.eval import metrics as M
+from gims_tpu.eval.viz import draw_matches, draw_homography_boxes
+from gims_tpu.train.data import get_perspective_mat, scale_homography
+from gims_tpu.train.gt import find_matches
+import jax.numpy as jnp
+
+
+def read_image_with_homography(path, homo_matrix, resize, color=True):
+    """Reference: utils/common.py:364-385 (color path)."""
+    flag = cv2.IMREAD_COLOR if color else cv2.IMREAD_GRAYSCALE
+    image = cv2.imread(str(path), flag)
+    if image is None:
+        return None, None, None
+    w, h = image.shape[1], image.shape[0]
+    warped = cv2.warpPerspective(image.copy(), homo_matrix, (w, h))
+    if len(resize) == 2:
+        w_new, h_new = resize
+    else:
+        scale = resize[0] / max(h, w) if resize[0] > -1 else 1.0
+        w_new, h_new = int(round(w * scale)), int(round(h * scale))
+    image = cv2.resize(image, (w_new, h_new))
+    warped = cv2.resize(warped, (w_new, h_new))
+    scaled = scale_homography(homo_matrix, h, w, h_new, w_new).astype(np.float32)
+    return image, warped, scaled
+
+
+def gt_reprojection_matches(kpts0, kpts1, H, dist_thresh=3.0, n_iters=3):
+    m0, m1 = find_matches(
+        jnp.asarray(kpts0), jnp.asarray(kpts1), jnp.asarray(H),
+        jnp.ones(len(kpts0), bool), jnp.ones(len(kpts1), bool),
+        dist_thresh, n_iters,
+    )
+    m0 = np.asarray(m0)
+    ma_0 = np.nonzero(m0 >= 0)[0]
+    ma_1 = m0[ma_0]
+    return ma_0, ma_1
+
+
+def evaluate_pair(matcher: Matching, image0, image1, homo, min_matches=12,
+                  agc=None):
+    """Returns (record dict or None-if-skipped, artifacts dict)."""
+    data = {"image0": image0[None], "image1": image1[None], **(agc or {})}
+    pred = matcher(data)
+    kpts0 = pred["keypoints0"][0]
+    kpts1 = pred["keypoints1"][0]
+    matches = pred["matches0"][0]
+    conf = pred["matching_scores0"][0]
+    valid = matches > -1
+    mkpts0 = kpts0[valid]
+    mkpts1 = kpts1[matches[valid]]
+    mconf = conf[valid]
+    artifacts = {
+        "matches_npz": {
+            "keypoints0": kpts0, "keypoints1": kpts1,
+            "matches": matches, "match_confidence": conf,
+        },
+        "mkpts0": mkpts0, "mkpts1": mkpts1,
+    }
+    if len(mconf) < min_matches:
+        return None, artifacts
+
+    ma_0, ma_1 = gt_reprojection_matches(kpts0, kpts1, homo)
+    gt_match_vec = np.full(len(matches), -1, np.int32)
+    gt_match_vec[ma_0] = ma_1
+
+    h, w = image0.shape[:2]
+    corners = M.corner_points(h, w)
+    sort_index = np.argsort(mconf)[::-1][:4]
+    try:
+        est_dlt = cv2.getPerspectiveTransform(
+            mkpts0[sort_index].astype(np.float32),
+            mkpts1[sort_index].astype(np.float32),
+        )
+        est_ransac, _ = cv2.findHomography(
+            mkpts0, mkpts1, method=cv2.RANSAC, maxIters=3000
+        )
+        if est_ransac is None:
+            return None, artifacts
+        proj = lambda Hm: cv2.perspectiveTransform(
+            corners.reshape(-1, 1, 2), Hm
+        ).squeeze(1)
+        error_dlt = M.compute_pixel_error(proj(est_dlt), proj(homo))
+        error_ransac = M.compute_pixel_error(proj(est_ransac), proj(homo))
+    except cv2.error:
+        return None, artifacts
+    precision, recall = M.match_precision_recall(
+        matches, gt_match_vec, valid, ma_0, ma_1
+    )
+    record = {
+        "error_dlt": error_dlt, "error_ransac": error_ransac,
+        "precision": precision, "recall": recall,
+    }
+    artifacts["est_ransac"] = est_ransac
+    return record, artifacts
+
+
+def aggregate(records, thresholds=(5, 10, 25)):
+    errors_dlt = [r["error_dlt"] for r in records]
+    errors_ransac = [r["error_ransac"] for r in records]
+    aucs_dlt = [100.0 * a for a in M.pose_auc(errors_dlt, thresholds)]
+    aucs_ransac = [100.0 * a for a in M.pose_auc(errors_ransac, thresholds)]
+    prec = 100.0 * float(np.mean([r["precision"] for r in records]))
+    rec = 100.0 * float(np.mean([r["recall"] for r in records]))
+    results = {
+        "dlt_auc": aucs_dlt, "ransac_auc": aucs_ransac,
+        "precision": prec, "recall": rec,
+        "thresholds": list(thresholds),
+    }
+    results["weight_score"] = M.weighted_score(results)
+    return results
+
+
+def run_benchmark(
+    input_homography: str,
+    input_dir: str,
+    output_dir: str,
+    weights_path: Optional[str] = None,
+    variables=None,
+    resize=(800, 600),
+    sinkhorn_iterations=20,
+    match_threshold=0.02,
+    max_keypoints=-1,
+    agc=None,
+    max_length=-1,
+    shuffle=True,
+    min_matches=12,
+    save_viz=False,
+    matcher: Optional[Matching] = None,
+):
+    """The 199-pair benchmark (or any 'name h00..h22' list)."""
+    agc = agc or {"radius": 15, "percentile": 2, "min_size": 7}
+    with open(input_homography) as f:
+        homo_pairs = [l for l in f.readlines() if l.strip()]
+    if max_length > -1:
+        homo_pairs = homo_pairs[: min(len(homo_pairs), max_length)]
+    if shuffle:
+        random.Random(0).shuffle(homo_pairs)
+
+    if matcher is None:
+        matcher = Matching({
+            "weights_path": weights_path,
+            "sinkhorn_iterations": sinkhorn_iterations,
+            "match_threshold": match_threshold,
+            "max_keypoints": max_keypoints,
+        }, variables=variables)
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    match_dir = out / "result" / "matches"
+    match_dir.mkdir(parents=True, exist_ok=True)
+    records = []
+    results_lines = []
+    for i, info in enumerate(homo_pairs):
+        parts = info.strip().split(" ")
+        name = parts[0]
+        homo = np.array(list(map(float, parts[1:]))).reshape(3, 3).astype(np.float32)
+        stem = Path(name).stem
+        image0, image1, homo = read_image_with_homography(
+            Path(input_dir) / name, homo, resize
+        )
+        if image0 is None:
+            continue
+        t0 = time.perf_counter()
+        record, artifacts = evaluate_pair(
+            matcher, image0, image1, homo, min_matches, agc
+        )
+        dt = time.perf_counter() - t0
+        np.savez(str(out / f"{stem}_matches.npz"), **artifacts["matches_npz"])
+        if record is None:
+            np.savez(str(out / f"{stem}_evaluation.npz"),
+                     error_dlt=-1, error_ransac=-1, precision=-1, recall=-1)
+            results_lines.append(f"{name} => 0")
+            print(f"[{i+1}/{len(homo_pairs)}] {name}: skipped ({dt:.2f}s)")
+            continue
+        np.savez(str(out / f"{stem}_evaluation.npz"), **record)
+        n_m = len(artifacts["mkpts0"])
+        results_lines.append(f"{name} => {n_m}")
+        print(
+            f"[{i+1}/{len(homo_pairs)}] {name}: {n_m} matches, "
+            f"err_ransac={record['error_ransac']:.2f} ({dt:.2f}s)"
+        )
+        if save_viz:
+            viz = draw_matches(image0, image1, artifacts["mkpts0"],
+                               artifacts["mkpts1"])
+            viz = draw_homography_boxes(
+                viz, image0.shape[1], homo, artifacts.get("est_ransac"),
+                f"error_ransac: {record['error_ransac']:.2f}",
+            )
+            cv2.imwrite(str(match_dir / f"{stem}_bordered.jpg"), viz)
+        records.append(record)
+
+    results = aggregate(records) if records else None
+    with open(out / "result" / "results.txt", "w") as f:
+        f.write("\n".join(results_lines))
+    if results:
+        print("For DLT results...")
+        print("AUC@5\t AUC@10\t AUC@25\t Prec\t Recall\t")
+        print("{:.2f}\t {:.2f}\t {:.2f}\t {:.2f}\t {:.2f}".format(
+            *results["dlt_auc"], results["precision"], results["recall"]))
+        print("For homography results...")
+        print("AUC@5\t AUC@10\t AUC@25\t Prec\t Recall\t")
+        print("{:.2f}\t {:.2f}\t {:.2f}\t {:.2f}\t {:.2f}".format(
+            *results["ransac_auc"], results["precision"], results["recall"]))
+    return results
+
+
+def generate_benchmark(out_dir: str, n_pairs=50, source_dir=None,
+                       height=600, width=800, seed=3):
+    """Create a deterministic benchmark set with the reference's file
+    contract (reference: generate_pairs.py).
+
+    Uses images from source_dir when given, else procedural textures.
+    Returns (homo_txt_path, images_dir)."""
+    out = Path(out_dir)
+    images_dir = out / "images"
+    images_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    lines = []
+    source = None
+    if source_dir is not None:
+        source = [
+            p for p in sorted(Path(source_dir).iterdir())
+            if p.suffix.lower() in (".jpg", ".png", ".jpeg")
+        ]
+    for i in range(n_pairs):
+        if source:
+            img = cv2.imread(str(source[i % len(source)]))
+            img = cv2.resize(img, (width, height))
+        else:
+            img = rng.randint(0, 255, (height // 4, width // 4, 3)).astype(np.uint8)
+            img = cv2.resize(img, (width, height), interpolation=cv2.INTER_CUBIC)
+            img = cv2.GaussianBlur(img, (0, 0), 1.2)
+        name = f"pair_{i:04d}.png"
+        cv2.imwrite(str(images_dir / name), img)
+        H = get_perspective_mat(
+            0.85, width // 2, height // 2, 0.0008, 0.0008, 0.04, 10, 25,
+            0.6, 0.6, rng,
+        )
+        lines.append(name + " " + " ".join(str(float(v)) for v in H.reshape(-1)))
+    txt = out / "pairs_homo.txt"
+    txt.write_text("\n".join(lines) + "\n")
+    return str(txt), str(images_dir)

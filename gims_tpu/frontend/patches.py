@@ -67,25 +67,24 @@ def _linear_weights(t):
     return [1.0 - t, t]
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
-    """levels: (L, H, W, C) f32; level_idx: (K,) i32; ainv: (K, 2, 3).
+# Keypoints are processed in chunks under lax.map so only one chunk's
+# 16 bicubic tap tensors are ever live — without this XLA schedules all
+# gathers of the full keypoint set before the accumulation and OOMs at
+# ~12 GB for an 8k-keypoint octave.
+WARP_CHUNK = 512
 
-    Returns (K, 32, 32, C) f32 (0..255 range preserved; caller normalizes).
-    """
-    lnum, h, w, c = levels.shape
-    kcount = level_idx.shape[0]
 
+def _warp_chunk(levels_flat, h, w, level_idx, ainv, interpolation):
+    """One chunk: level_idx (k,), ainv (k, 2, 3) -> (k, 32, 32, C)."""
     xs = jnp.arange(WARP_SIZE, dtype=jnp.float32)
     gx = jnp.broadcast_to(xs[None, :], (WARP_SIZE, WARP_SIZE))
     gy = jnp.broadcast_to(xs[:, None], (WARP_SIZE, WARP_SIZE))
 
-    # src coordinates per keypoint per dst pixel
     sx = (
         ainv[:, 0, 0, None, None] * gx
         + ainv[:, 0, 1, None, None] * gy
         + ainv[:, 0, 2, None, None]
-    )  # (K, 64, 64)
+    )  # (k, 64, 64)
     sy = (
         ainv[:, 1, 0, None, None] * gx
         + ainv[:, 1, 1, None, None] * gy
@@ -108,10 +107,10 @@ def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
         wy = _linear_weights(ty)
         offs = (0, 1)
 
-    flat = levels.reshape(lnum * h * w, c)
+    k = level_idx.shape[0]
+    c = levels_flat.shape[-1]
     base = level_idx[:, None, None] * (h * w)
-
-    acc = jnp.zeros((kcount, WARP_SIZE, WARP_SIZE, c), jnp.float32)
+    acc = jnp.zeros((k, WARP_SIZE, WARP_SIZE, c), jnp.float32)
     for a, dy in enumerate(offs):
         yy = iy + dy
         y_ok = (yy >= 0) & (yy < h)
@@ -121,13 +120,38 @@ def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
             ok = y_ok & (xx >= 0) & (xx < w)
             xc = jnp.clip(xx, 0, w - 1)
             idx = base + yc * w + xc
-            vals = jnp.take(flat, idx, axis=0)  # (K, 64, 64, C)
+            vals = jnp.take(levels_flat, idx, axis=0)  # (k, 64, 64, C)
             wgt = (wy[a] * wx[b]) * ok.astype(jnp.float32)
             acc = acc + vals * wgt[..., None]
 
     # INTER_AREA 64 -> 32 == exact 2x2 box average
-    acc = acc.reshape(kcount, OUT_SIZE, 2, OUT_SIZE, 2, c).mean(axis=(2, 4))
-    return acc
+    return acc.reshape(k, OUT_SIZE, 2, OUT_SIZE, 2, c).mean(axis=(2, 4))
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
+    """levels: (L, H, W, C) f32; level_idx: (K,) i32; ainv: (K, 2, 3).
+
+    Returns (K, 32, 32, C) f32 (0..255 range preserved; caller normalizes).
+    """
+    lnum, h, w, c = levels.shape
+    kcount = level_idx.shape[0]
+    flat = levels.reshape(lnum * h * w, c)
+
+    if kcount <= WARP_CHUNK:
+        return _warp_chunk(flat, h, w, level_idx, ainv, interpolation)
+
+    nchunks = -(-kcount // WARP_CHUNK)
+    pad = nchunks * WARP_CHUNK - kcount
+    li = jnp.pad(level_idx, (0, pad)).reshape(nchunks, WARP_CHUNK)
+    av = jnp.pad(ainv, ((0, pad), (0, 0), (0, 0))).reshape(
+        nchunks, WARP_CHUNK, 2, 3
+    )
+    out = jax.lax.map(
+        lambda args: _warp_chunk(flat, h, w, args[0], args[1], interpolation),
+        (li, av),
+    )
+    return out.reshape(nchunks * WARP_CHUNK, OUT_SIZE, OUT_SIZE, c)[:kcount]
 
 
 def extract_patches(
