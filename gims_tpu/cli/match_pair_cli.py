@@ -1,0 +1,58 @@
+"""Minimum end-to-end slice: match two images and dump/visualize matches
+(SURVEY.md §7 'match_pair.py')."""
+
+from __future__ import annotations
+
+import argparse
+
+import cv2
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("image0")
+    parser.add_argument("image1")
+    parser.add_argument("--weights_path", type=str, default=None)
+    parser.add_argument("--out", type=str, default="matches.png")
+    parser.add_argument("--npz", type=str, default=None)
+    parser.add_argument("--sinkhorn_iterations", type=int, default=20)
+    parser.add_argument("--match_threshold", type=float, default=0.02)
+    parser.add_argument("--agc_r", type=float, default=15)
+    parser.add_argument("--agc_p", type=float, default=2)
+    parser.add_argument("--agc_m", type=int, default=7)
+    args = parser.parse_args(argv)
+
+    from gims_tpu.api import Matching
+    from gims_tpu.eval.viz import draw_matches
+
+    img0 = cv2.imread(args.image0, cv2.IMREAD_COLOR)
+    img1 = cv2.imread(args.image1, cv2.IMREAD_COLOR)
+    matcher = Matching({
+        "weights_path": args.weights_path,
+        "sinkhorn_iterations": args.sinkhorn_iterations,
+        "match_threshold": args.match_threshold,
+        "max_keypoints": -1,
+    })
+    pred = matcher({
+        "image0": img0[None], "image1": img1[None],
+        "radius": args.agc_r, "percentile": args.agc_p,
+        "min_size": args.agc_m,
+    })
+    kpts0 = pred["keypoints0"][0]
+    kpts1 = pred["keypoints1"][0]
+    matches = pred["matches0"][0]
+    valid = matches > -1
+    print(f"keypoints: {len(kpts0)} / {len(kpts1)}; "
+          f"matches: {int(valid.sum())}")
+    print("timings:", {k: round(v, 3) for k, v in matcher.timings.items()})
+    if args.npz:
+        np.savez(args.npz, keypoints0=kpts0, keypoints1=kpts1,
+                 matches=matches,
+                 match_confidence=pred["matching_scores0"][0])
+    viz = draw_matches(img0, img1, kpts0[valid], kpts1[matches[valid]])
+    cv2.imwrite(args.out, viz)
+
+
+if __name__ == "__main__":
+    main()

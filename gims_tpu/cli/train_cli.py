@@ -1,0 +1,52 @@
+"""Training CLI — flag parity with reference train.py:212-231."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+from pathlib import Path
+
+from gims_tpu.config import load_config
+
+
+def increment_path(path, exist_ok=True, sep=""):
+    """Reference: utils/common.py:76-86."""
+    path = Path(path)
+    if (path.exists() and exist_ok) or (not path.exists()):
+        return str(path)
+    dirs = glob.glob(f"{path}{sep}*")
+    matches = [re.search(rf"%s{sep}(\d+)" % path.stem, d) for d in dirs]
+    i = [int(m.groups()[0]) for m in matches if m]
+    n = max(i) + 1 if i else 2
+    return f"{path}{sep}{n}"
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="GIMS-TPU training")
+    parser.add_argument("--config_path", type=str,
+                        default="configs/coco_config.yaml")
+    parser.add_argument("--name", type=str, default="gims")
+    parser.add_argument("--limit", type=int, default=-1)
+    parser.add_argument("--devices", type=int, default=1,
+                        help="data-parallel device count (mesh over ICI)")
+    parser.add_argument("--max_steps", type=int, default=-1)
+    parser.add_argument("--carhynet_weights", type=str, default=None)
+    parser.add_argument("--restore_path", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config_path if os.path.exists(args.config_path)
+                      else None)
+    save_dir = increment_path(
+        Path(cfg.train.output_dir) / args.name, exist_ok=False
+    )
+    from gims_tpu.train.loop import train
+
+    train(cfg, save_dir=save_dir, limit=args.limit,
+          n_devices=args.devices, carhynet_weights=args.carhynet_weights,
+          max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,261 @@
+"""Training orchestration — the reference train.py:28-186 rebuilt.
+
+Per batch: host loads an image pair + synthesizes the homography, the
+frontend computes fixed-count (2048) keypoints/descriptors on device, GT
+correspondences come from the jitted reprojection matcher, and one jitted
+train step (optionally shard_map'ed over a data-parallel mesh) updates the
+model. Checkpoint policy parity: lastiter.pt every 2000 iters, minloss.pt
+on a new rolling-mean minimum every 200, last/best per epoch by the
+validation weighted score (reference: train.py:155-184) — stored via orbax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gims_tpu.config import GIMSConfig
+from gims_tpu.api import Matching, init_gmatcher_variables
+from gims_tpu.core import checkpoint as ckpt_io
+from gims_tpu.frontend.feature import FeatureFrontend
+from gims_tpu.matcher import pipeline
+from gims_tpu.train import data as data_mod
+from gims_tpu.train import gt as gt_mod
+from gims_tpu.train import step as step_mod
+from gims_tpu.eval import metrics as M
+from gims_tpu.eval.homography import evaluate_pair
+
+
+def extract_batch(frontend: FeatureFrontend, images, max_keypoints, rng):
+    """images: list of (H, W, 3) uint8 -> stacked padded feature arrays."""
+    kpts, descs, valids = [], [], []
+    for img in images:
+        out = frontend.extract(
+            img, max_keypoints=max_keypoints, train_topup=True, rng=rng
+        )
+        n = out["keypoints"].shape[0]
+        kp = np.full((max_keypoints, 2), 1e6, np.float32)
+        de = np.zeros((max_keypoints, 256), np.float32)
+        va = np.zeros((max_keypoints,), bool)
+        kp[:n] = out["keypoints"][:max_keypoints]
+        de[:n] = out["descriptors"][:max_keypoints]
+        va[:n] = True
+        kpts.append(kp)
+        descs.append(de)
+        valids.append(va)
+    return np.stack(kpts), np.stack(descs), np.stack(valids)
+
+
+def build_batch(frontend, pairs, max_keypoints, rng):
+    """pairs: list of (orig, warped, H) -> train-step batch dict."""
+    origs = [p[0] for p in pairs]
+    warps = [p[1] for p in pairs]
+    Hs = np.stack([p[2] for p in pairs])
+    kp0, de0, va0 = extract_batch(frontend, origs, max_keypoints, rng)
+    kp1, de1, va1 = extract_batch(frontend, warps, max_keypoints, rng)
+
+    rows_list, valid_list = [], []
+    for b in range(len(pairs)):
+        m0, m1 = gt_mod.find_matches(
+            jnp.asarray(kp0[b]), jnp.asarray(kp1[b]), jnp.asarray(Hs[b]),
+            jnp.asarray(va0[b]), jnp.asarray(va1[b]),
+            dist_thresh=3.0, n_iters=1,
+        )
+        rows, valid = gt_mod.build_gt_rows(
+            m0, m1, jnp.asarray(va0[b]), jnp.asarray(va1[b]), batch_index=0
+        )
+        rows_list.append(np.asarray(rows))
+        valid_list.append(np.asarray(valid))
+    return {
+        "kpts0": jnp.asarray(kp0), "desc0": jnp.asarray(de0),
+        "valid0": jnp.asarray(va0),
+        "kpts1": jnp.asarray(kp1), "desc1": jnp.asarray(de1),
+        "valid1": jnp.asarray(va1),
+        "gt_rows": jnp.asarray(np.stack(rows_list)),
+        "gt_valid": jnp.asarray(np.stack(valid_list)),
+    }
+
+
+def test_model(matcher: Matching, val_dataset, val_count: int, agc=None,
+               min_matches: int = 12):
+    """In-training validation (reference: utils/common.py:912-977):
+    skipped pairs contribute penalty records (error=500, P=R=0)."""
+    records = []
+    for i in range(min(val_count, len(val_dataset))):
+        image, warped, H = val_dataset[i]
+        record, _ = evaluate_pair(matcher, image, warped, H, min_matches, agc)
+        if record is None:
+            record = {"error_dlt": 500.0, "error_ransac": 500.0,
+                      "precision": 0.0, "recall": 0.0}
+        records.append(record)
+    thresholds = [5, 10, 25]
+    results = {
+        "dlt_auc": [100.0 * a for a in M.pose_auc(
+            [r["error_dlt"] for r in records], thresholds)],
+        "ransac_auc": [100.0 * a for a in M.pose_auc(
+            [r["error_ransac"] for r in records], thresholds)],
+        "precision": 100.0 * float(np.mean([r["precision"] for r in records])),
+        "recall": 100.0 * float(np.mean([r["recall"] for r in records])),
+        "thresholds": thresholds,
+    }
+    results["weight_score"] = M.weighted_score(results)
+    return results
+
+
+def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
+          save_dir: Optional[str] = None, limit: int = -1,
+          n_devices: int = 1, carhynet_weights: Optional[str] = None,
+          max_steps: int = -1, log_fn=print):
+    """Main loop. Returns the final TrainState."""
+    tcfg = cfg.train
+    save_dir = Path(save_dir or os.path.join(tcfg.output_dir, tcfg.experiment_name))
+    weight_dir = save_dir / "weights"
+    weight_dir.mkdir(parents=True, exist_ok=True)
+    results_file = open(save_dir / "results.txt", "a")
+
+    np.random.seed(tcfg.init_seed)
+    rng = np.random.RandomState(tcfg.init_seed)
+
+    frontend = FeatureFrontend(cfg.frontend, weights_path=carhynet_weights)
+    variables = init_gmatcher_variables(cfg.matcher, seed=tcfg.init_seed)
+
+    if train_dataset is None:
+        coco_dir = os.path.join(cfg.dataset.dataset_path, "train2017")
+        if os.path.isdir(coco_dir):
+            train_dataset = data_mod.CocoPairDataset(
+                cfg.dataset, "train", limit=limit, seed=tcfg.init_seed
+            )
+        else:
+            log_fn(f"[train] no COCO at {coco_dir}; using synthetic pairs")
+            train_dataset = data_mod.SyntheticPairDataset(
+                cfg.dataset, length=limit if limit > 0 else 1000,
+                seed=tcfg.init_seed,
+            )
+    if val_dataset is None:
+        val_dataset = data_mod.SyntheticPairDataset(
+            cfg.dataset, length=tcfg.val_images_count, seed=999
+        )
+
+    bsz = tcfg.batch_size * n_devices
+    num_batches = max(len(train_dataset) // bsz, 1)
+    state, tx = step_mod.create_train_state(cfg, variables, num_batches)
+
+    image_shape = (cfg.dataset.image_height, cfg.dataset.image_width)
+    if n_devices > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+        step_fn = step_mod.make_distributed_train_step(
+            cfg, tx, image_shape, mesh
+        )
+    else:
+        step_fn = jax.jit(step_mod.make_train_step(cfg, tx, image_shape))
+
+    eval_matcher = Matching(cfg, variables=variables, frontend=frontend)
+
+    best_val_score = 1e-10
+    best_min_loss = 1e9
+    order = np.arange(len(train_dataset))
+    global_step = 0
+    log_fn(f"Started training for {tcfg.num_epochs} epochs, "
+           f"{num_batches} batches/epoch, {n_devices} device(s)")
+    header = ("%10s" * 8) % ("Epoch", "Iter", "PosLoss", "NegLoss",
+                             "TotLoss", "Dtime", "Ptime", "Mtime")
+    for epoch in range(tcfg.start_epoch, tcfg.num_epochs):
+        log_fn(header)
+        rng.shuffle(order)
+        mloss = np.zeros(3)
+        t5 = time.time()
+        for it in range(num_batches):
+            idxs = order[it * bsz:(it + 1) * bsz]
+            t1 = time.time()
+            pairs = [train_dataset[int(i)] for i in idxs]
+            t2 = time.time()
+            batch = build_batch(frontend, pairs, tcfg.max_keypoints, rng)
+            t3 = time.time()
+            state, metrics = step_fn(state, batch)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            t4 = time.time()
+            loss_items = np.array([
+                metrics["pos_loss"], metrics["neg_loss"],
+                metrics["total_loss"],
+            ])
+            mloss = (mloss * it + loss_items) / (it + 1)
+            log_fn(("%10s%10d" + "%10.4g" * 6) % (
+                str(epoch), it, *mloss, t1 - t5, t3 - t2, t4 - t3))
+            t5 = time.time()
+            if (it + 1) % tcfg.log_interval == 0:
+                results_file.write(
+                    f"Epoch: {epoch} Iter: {it}, Loss: {mloss[0]}\n")
+                results_file.flush()
+            ckpt_state = _ckpt_payload(state, epoch, it)
+            if (it + 1) % tcfg.lastiter_every == 0:
+                ckpt_io.save_orbax(str(weight_dir / "lastiter"), ckpt_state)
+            if (it + 1) % tcfg.minloss_every == 0 and mloss[2] < best_min_loss:
+                best_min_loss = float(mloss[2])
+                log_fn(f"save minloss {epoch} with loss {best_min_loss}")
+                ckpt_io.save_orbax(str(weight_dir / "minloss"), ckpt_state)
+            global_step += 1
+            if 0 < max_steps <= global_step:
+                break
+
+        # per-epoch validation with the EMA (or raw) weights
+        eval_params = state.ema_params if state.ema_params is not None else state.params
+        eval_matcher.variables = {
+            "params": eval_params, "batch_stats": state.batch_stats,
+        }
+        results = test_model(
+            eval_matcher, val_dataset, tcfg.val_images_count,
+            agc={"radius": cfg.agc.radius, "percentile": cfg.agc.percentile,
+                 "min_size": cfg.agc.min_size},
+        )
+        log_fn(f"Validation: {results}")
+        ckpt_state = _ckpt_payload(state, epoch, -1)
+        ckpt_io.save_orbax(str(weight_dir / "last"), ckpt_state)
+        if results["weight_score"] > best_val_score:
+            best_val_score = results["weight_score"]
+            log_fn(f"Saving best model at epoch {epoch} "
+                   f"with score {best_val_score}")
+            ckpt_io.save_orbax(str(weight_dir / "best"), ckpt_state)
+        if 0 < max_steps <= global_step:
+            break
+    results_file.close()
+    return state
+
+
+def _ckpt_payload(state, epoch, it):
+    return {
+        "epoch": np.asarray(epoch),
+        "iter": np.asarray(it),
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "ema": state.ema_params if state.ema_params is not None else {},
+        "ema_updates": np.asarray(state.ema_updates),
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+    }
+
+
+def restore_train_state(cfg: GIMSConfig, path: str, num_batches: int):
+    """Real resume (the reference's restore_path is dead code —
+    train.py never loads it; fixed here per SURVEY.md §7)."""
+    variables = init_gmatcher_variables(cfg.matcher)
+    state, tx = step_mod.create_train_state(cfg, variables, num_batches)
+    like = _ckpt_payload(state, 0, 0)
+    loaded = ckpt_io.load_orbax(path, like)
+    state = state.replace(
+        step=jnp.asarray(loaded["step"]),
+        params=loaded["params"],
+        batch_stats=loaded["batch_stats"],
+        opt_state=loaded["opt_state"],
+        ema_params=(loaded["ema"] if cfg.train.use_ema else None),
+        ema_updates=jnp.asarray(loaded["ema_updates"]),
+    )
+    return state, tx, int(loaded["epoch"]), int(loaded["iter"])
