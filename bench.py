@@ -66,6 +66,7 @@ def main():
             img0, img1 = pair
             return matcher({
                 "image0": img0[None], "image1": img1[None], **agc,
+                "return_descriptors": False,
             })
 
         # warmup / compile (two pairs to cover residual bucket jitter)

@@ -100,63 +100,73 @@ class Matching:
             cc_rounds=self.cfg.agc.cc_rounds,
         )
 
+        return_desc = bool(data.get("return_descriptors", True))
+
         feats = {}
         t0 = time.perf_counter()
         for side in ("0", "1"):
             if f"keypoints{side}" in data:
+                kpts = np.asarray(data[f"keypoints{side}"])
+                descs = _desc_nd(np.asarray(data[f"descriptors{side}"]))
+                scores = np.asarray(data[f"scores{side}"], np.float32)
+                kp_p, de_p, sc_p, msk = pad_keypoint_set(kpts, descs, scores)
                 feats[side] = {
-                    "keypoints": np.asarray(data[f"keypoints{side}"]),
-                    "descriptors": np.asarray(data[f"descriptors{side}"]),
-                    "scores": np.asarray(data[f"scores{side}"]),
+                    "kpts": jnp.asarray(kp_p), "desc": jnp.asarray(de_p),
+                    "valid": jnp.asarray(msk), "scores": sc_p,
+                    "kpts_host": kp_p, "n": len(kpts),
                 }
             else:
                 img = _as_hw3(data[f"image{side}"])
-                feats[side] = self.frontend.extract(
+                f = self.frontend.extract_padded(
                     img, max_keypoints=self.max_keypoints
                 )
+                nb = f["kpts"].shape[0]
+                kp_p = np.full((nb, 2), 1e6, np.float32)
+                kp_p[: f["n"]] = f["kp"].pt[: f["n"]]
+                feats[side] = {**f, "kpts_host": kp_p}
         t1 = time.perf_counter()
 
         img0 = _as_hw3(data["image0"])
         image_shape = tuple(img0.shape[:2])
 
         f0, f1 = feats["0"], feats["1"]
-        # reference stores descriptors (256, N); accept both orientations
-        d0 = _desc_nd(f0["descriptors"])
-        d1 = _desc_nd(f1["descriptors"])
-        kp0p, de0p, sc0p, m0 = pad_keypoint_set(f0["keypoints"], d0, f0["scores"])
-        kp1p, de1p, sc1p, m1 = pad_keypoint_set(f1["keypoints"], d1, f1["scores"])
-        n0, n1 = len(f0["keypoints"]), len(f1["keypoints"])
-
         if acfg.delaunay:
-            adj0 = delaunay_adjacency_host(kp0p, m0)
-            adj1 = delaunay_adjacency_host(kp1p, m1)
+            adj0 = delaunay_adjacency_host(f0["kpts_host"], np.asarray(f0["valid"]))
+            adj1 = delaunay_adjacency_host(f1["kpts_host"], np.asarray(f1["valid"]))
             out = _jit_forward_adj(
                 self.variables, mcfg, image_shape,
-                jnp.asarray(kp0p)[None], jnp.asarray(de0p)[None],
-                jnp.asarray(m0)[None], jnp.asarray(adj0)[None],
-                jnp.asarray(kp1p)[None], jnp.asarray(de1p)[None],
-                jnp.asarray(m1)[None], jnp.asarray(adj1)[None],
+                f0["kpts"][None], f0["desc"][None], f0["valid"][None],
+                jnp.asarray(adj0)[None],
+                f1["kpts"][None], f1["desc"][None], f1["valid"][None],
+                jnp.asarray(adj1)[None],
             )
         else:
-            k0 = pipeline.percentile_rank(n0, acfg.percentile)
-            k1 = pipeline.percentile_rank(n1, acfg.percentile)
+            k0 = pipeline.percentile_rank(f0["n"], acfg.percentile)
+            k1 = pipeline.percentile_rank(f1["n"], acfg.percentile)
             out = _jit_forward(
                 self.variables, mcfg, acfg, image_shape,
-                jnp.asarray(kp0p)[None], jnp.asarray(de0p)[None],
-                jnp.asarray(m0)[None],
-                jnp.asarray(kp1p)[None], jnp.asarray(de1p)[None],
-                jnp.asarray(m1)[None],
+                f0["kpts"][None], f0["desc"][None], f0["valid"][None],
+                f1["kpts"][None], f1["desc"][None], f1["valid"][None],
                 jnp.asarray([k0], np.int32), jnp.asarray([k1], np.int32),
             )
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # download only the small outputs (and descriptors on request)
+        host = {}
+        for key in ("kept0", "kept1", "matches0", "matches1",
+                    "matching_scores0", "matching_scores1"):
+            host[key] = np.asarray(out[key])
+        if return_desc:
+            host["mdesc0"] = np.asarray(out["mdesc0"])
+            host["mdesc1"] = np.asarray(out["mdesc1"])
+            host["desc0"] = np.asarray(f0["desc"])
+            host["desc1"] = np.asarray(f1["desc"])
         t2 = time.perf_counter()
         self.timings = {
             "frontend": t1 - t0, "matcher": t2 - t1,
             **{f"frontend_{k}": v for k, v in self.frontend.timings.items()},
         }
-        return self._compact(out, kp0p, de0p, sc0p, kp1p, de1p, sc1p)
+        return self._compact(host, f0, f1, return_desc)
 
-    def _compact(self, out, kp0p, de0p, sc0p, kp1p, de1p, sc1p):
+    def _compact(self, out, f0, f1, return_desc):
         kept0 = out["kept0"][0]
         kept1 = out["kept1"][0]
         new0, old0 = compact_indices(kept0)
@@ -168,20 +178,22 @@ class Matching:
 
         matches0 = remap(out["matches0"][0][old0], new1)
         matches1 = remap(out["matches1"][0][old1], new0)
-        return {
-            "keypoints0": kp0p[old0][None],
-            "keypoints1": kp1p[old1][None],
-            "scores0": sc0p[old0][None],
-            "scores1": sc1p[old1][None],
-            "descriptors0": de0p[old0].T[None],
-            "descriptors1": de1p[old1].T[None],
+        pred = {
+            "keypoints0": f0["kpts_host"][old0][None],
+            "keypoints1": f1["kpts_host"][old1][None],
+            "scores0": f0["scores"][old0][None],
+            "scores1": f1["scores"][old1][None],
             "matches0": matches0.astype(np.int32)[None],
             "matches1": matches1.astype(np.int32)[None],
             "matching_scores0": out["matching_scores0"][0][old0][None],
             "matching_scores1": out["matching_scores1"][0][old1][None],
-            "mdesc0": out["mdesc0"][0][old0],
-            "mdesc1": out["mdesc1"][0][old1],
         }
+        if return_desc:
+            pred["descriptors0"] = out["desc0"][old0].T[None]
+            pred["descriptors1"] = out["desc1"][old1].T[None]
+            pred["mdesc0"] = out["mdesc0"][0][old0]
+            pred["mdesc1"] = out["mdesc1"][0][old1]
+        return pred
 
 
 def _desc_nd(d):

@@ -44,6 +44,13 @@ class DescriptorEngine:
 
         self._apply = _apply
 
+    def compute_device(self, patches) -> jnp.ndarray:
+        """Device patches (Nb, 32, 32, 3) in [0,1] -> device (Nb, 128).
+
+        Stays entirely on device; padded rows produce garbage descriptors
+        that downstream masks ignore."""
+        return self._apply(self.variables, patches)
+
     def compute(self, patches: np.ndarray) -> np.ndarray:
         """patches: (N, 32, 32, 3) float32 in [0, 1] -> (N, 128) float32."""
         n = patches.shape[0]
@@ -52,7 +59,7 @@ class DescriptorEngine:
         nb = bucket_size(n, PATCH_BUCKETS)
         padded = np.zeros((nb, 32, 32, 3), np.float32)
         padded[:n] = patches
-        out = self._apply(self.variables, jnp.asarray(padded))
+        out = self.compute_device(jnp.asarray(padded))
         return np.asarray(out)[:n]
 
     def compute_sift(self, patches, kps, color=True):

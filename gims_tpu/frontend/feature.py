@@ -16,9 +16,10 @@ import jax.numpy as jnp
 
 from gims_tpu.config import FrontendConfig
 from gims_tpu.carhynet.engine import DescriptorEngine
+from gims_tpu.core.bucketing import DEFAULT_BUCKETS, bucket_size
 from gims_tpu.frontend.sift import detect, KeypointArrays
 from gims_tpu.frontend.pyramid import pyramid_from_uint8
-from gims_tpu.frontend.patches import extract_patches
+from gims_tpu.frontend.patches import extract_patches, extract_patches_device
 
 
 class FeatureFrontend:
@@ -61,4 +62,59 @@ class FeatureFrontend:
             "scores": kp.response.copy(),
             "descriptors": desc256,
             "kp": kp,
+        }
+
+    def extract_padded(
+        self,
+        image_bgr: np.ndarray,
+        max_keypoints: Optional[int] = None,
+        bucket: Optional[int] = None,
+        train_topup: bool = False,
+        rng: Optional[np.random.RandomState] = None,
+    ):
+        """Device-resident frontend: everything except SIFT detect stays on
+        the TPU (the tunnel's host<->device bandwidth is the bottleneck —
+        only the uint8 frame goes up and nothing comes back down here).
+
+        Returns dict with DEVICE arrays padded to a bucket:
+        kpts (Nb,2), desc (Nb,256), valid (Nb,), plus host scores/kp/n.
+        """
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        kp = detect(image_bgr, self.cfg, max_keypoints, train_topup, rng)
+        n = len(kp)
+        nb = bucket if bucket is not None else bucket_size(n, DEFAULT_BUCKETS)
+        if n > nb:
+            kp = KeypointArrays(*(a[:nb] for a in (
+                kp.pt, kp.size, kp.angle, kp.response, kp.octave, kp.layer,
+                kp.scale)))
+            n = nb
+        t1 = time.perf_counter()
+        h, w = image_bgr.shape[:2]
+        pyramid = pyramid_from_uint8(jnp.asarray(image_bgr), h, w)
+        patches = extract_patches_device(
+            pyramid, kp, nb, self.cfg.interpolation
+        )
+        t2 = time.perf_counter()
+        desc128 = self.engine.compute_device(patches)
+        desc256 = jnp.concatenate([desc128, desc128], axis=1)
+        t3 = time.perf_counter()
+
+        kpts = np.full((nb, 2), 1e6, np.float32)
+        kpts[:n] = kp.pt
+        scores = np.zeros((nb,), np.float32)
+        scores[:n] = kp.response
+        valid = np.zeros((nb,), bool)
+        valid[:n] = True
+        self.timings = {
+            "detect": t1 - t0, "patches": t2 - t1, "descriptors": t3 - t2,
+        }
+        return {
+            "kpts": jnp.asarray(kpts),
+            "desc": desc256,
+            "valid": jnp.asarray(valid),
+            "scores": scores,
+            "kp": kp,
+            "n": n,
         }

@@ -154,27 +154,34 @@ def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
     return out.reshape(nchunks * WARP_CHUNK, OUT_SIZE, OUT_SIZE, c)[:kcount]
 
 
-def extract_patches(
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_patches(out, sel, patches):
+    return out.at[sel].set(patches)
+
+
+def extract_patches_device(
     pyramid,                 # sequence of (6, H_o, W_o, C) device arrays
     kp: KeypointArrays,
+    out_bucket: int,
     interpolation: str = "cubic",
-) -> np.ndarray:
-    """All keypoints -> (N, 32, 32, C) f32 patches in [0, 1].
+):
+    """All keypoints -> DEVICE (out_bucket, 32, 32, C) f32 patches in [0,1].
 
     Groups keypoints by octave on the host, pads each group to a bucket,
-    and runs one compiled warp per (octave shape, bucket).
+    runs one compiled warp per (octave shape, bucket), and scatters the
+    results into a device-resident output buffer — nothing round-trips to
+    the host (host<->device bandwidth is the scarcest resource here).
     """
     n = len(kp)
+    ch = int(pyramid[0].shape[-1]) if len(pyramid) else 3
+    out = jnp.zeros((out_bucket, OUT_SIZE, OUT_SIZE, ch), jnp.float32)
     if n == 0:
-        ch = int(pyramid[0].shape[-1]) if len(pyramid) else 3
-        return np.zeros((0, OUT_SIZE, OUT_SIZE, ch), np.float32)
+        return out
     ainv = inverse_affines(kp)
     oct_index = kp.octave + 1  # firstOctave = -1
-    out = np.empty(
-        (n, OUT_SIZE, OUT_SIZE, int(pyramid[0].shape[-1])), np.float32
-    )
     for o in range(len(pyramid)):
         sel = np.nonzero(oct_index == o)[0]
+        sel = sel[sel < out_bucket]
         if sel.size == 0:
             continue
         kb = bucket_size(sel.size, KP_BUCKETS)
@@ -185,5 +192,23 @@ def extract_patches(
         patches = warp_patches_level(
             pyramid[o], jnp.asarray(lv), jnp.asarray(av), interpolation
         )
-        out[sel] = np.asarray(patches)[: sel.size]
+        selp = np.full((kb,), out_bucket, np.int32)  # OOB rows dropped
+        selp[: sel.size] = sel
+        out = _scatter_patches(out, jnp.asarray(selp), patches)
     return out / 255.0
+
+
+def extract_patches(
+    pyramid,
+    kp: KeypointArrays,
+    interpolation: str = "cubic",
+) -> np.ndarray:
+    """Host-output variant of extract_patches_device (tests / tools)."""
+    n = len(kp)
+    if n == 0:
+        ch = int(pyramid[0].shape[-1]) if len(pyramid) else 3
+        return np.zeros((0, OUT_SIZE, OUT_SIZE, ch), np.float32)
+    dev = extract_patches_device(
+        pyramid, kp, bucket_size(n, KP_BUCKETS), interpolation
+    )
+    return np.asarray(dev)[:n]

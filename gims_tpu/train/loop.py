@@ -34,23 +34,17 @@ from gims_tpu.eval.homography import evaluate_pair
 
 
 def extract_batch(frontend: FeatureFrontend, images, max_keypoints, rng):
-    """images: list of (H, W, 3) uint8 -> stacked padded feature arrays."""
+    """images: list of (H, W, 3) uint8 -> stacked padded DEVICE arrays."""
     kpts, descs, valids = [], [], []
     for img in images:
-        out = frontend.extract(
-            img, max_keypoints=max_keypoints, train_topup=True, rng=rng
+        out = frontend.extract_padded(
+            img, max_keypoints=max_keypoints, bucket=max_keypoints,
+            train_topup=True, rng=rng,
         )
-        n = out["keypoints"].shape[0]
-        kp = np.full((max_keypoints, 2), 1e6, np.float32)
-        de = np.zeros((max_keypoints, 256), np.float32)
-        va = np.zeros((max_keypoints,), bool)
-        kp[:n] = out["keypoints"][:max_keypoints]
-        de[:n] = out["descriptors"][:max_keypoints]
-        va[:n] = True
-        kpts.append(kp)
-        descs.append(de)
-        valids.append(va)
-    return np.stack(kpts), np.stack(descs), np.stack(valids)
+        kpts.append(out["kpts"])
+        descs.append(out["desc"])
+        valids.append(out["valid"])
+    return jnp.stack(kpts), jnp.stack(descs), jnp.stack(valids)
 
 
 def build_batch(frontend, pairs, max_keypoints, rng):
@@ -64,22 +58,19 @@ def build_batch(frontend, pairs, max_keypoints, rng):
     rows_list, valid_list = [], []
     for b in range(len(pairs)):
         m0, m1 = gt_mod.find_matches(
-            jnp.asarray(kp0[b]), jnp.asarray(kp1[b]), jnp.asarray(Hs[b]),
-            jnp.asarray(va0[b]), jnp.asarray(va1[b]),
+            kp0[b], kp1[b], jnp.asarray(Hs[b]), va0[b], va1[b],
             dist_thresh=3.0, n_iters=1,
         )
         rows, valid = gt_mod.build_gt_rows(
-            m0, m1, jnp.asarray(va0[b]), jnp.asarray(va1[b]), batch_index=0
+            m0, m1, va0[b], va1[b], batch_index=0
         )
-        rows_list.append(np.asarray(rows))
-        valid_list.append(np.asarray(valid))
+        rows_list.append(rows)
+        valid_list.append(valid)
     return {
-        "kpts0": jnp.asarray(kp0), "desc0": jnp.asarray(de0),
-        "valid0": jnp.asarray(va0),
-        "kpts1": jnp.asarray(kp1), "desc1": jnp.asarray(de1),
-        "valid1": jnp.asarray(va1),
-        "gt_rows": jnp.asarray(np.stack(rows_list)),
-        "gt_valid": jnp.asarray(np.stack(valid_list)),
+        "kpts0": kp0, "desc0": de0, "valid0": va0,
+        "kpts1": kp1, "desc1": de1, "valid1": va1,
+        "gt_rows": jnp.stack(rows_list),
+        "gt_valid": jnp.stack(valid_list),
     }
 
 
