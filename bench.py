@@ -57,6 +57,9 @@ def main():
             "sinkhorn_iterations": 20,
             "match_threshold": 0.02,
             "max_keypoints": 12288,
+            # bf16 in the attention trunk: MXU runs at full rate; scores,
+            # Sinkhorn, and extraction stay f32
+            "attention_dtype": "bfloat16",
         })
 
         pairs = make_images(6)

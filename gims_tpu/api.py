@@ -74,6 +74,7 @@ class Matching:
             mcfg = MatcherConfig(
                 sinkhorn_iterations=config.get("sinkhorn_iterations", 100),
                 match_threshold=config.get("match_threshold", 0.2),
+                attention_dtype=config.get("attention_dtype", "float32"),
             )
             self.cfg = GIMSConfig(matcher=mcfg)
             self.max_keypoints = config.get("max_keypoints", -1)

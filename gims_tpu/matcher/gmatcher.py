@@ -68,9 +68,12 @@ class GMatcher(nn.Module):
             cfg.descriptor_dim, cfg.keypoint_encoder, cfg.use_layernorm,
             name="kenc",
         )
+        attn_dtype = (
+            jnp.bfloat16 if cfg.attention_dtype == "bfloat16" else jnp.float32
+        )
         gnn = AttentionalGNN(
             cfg.descriptor_dim, layer_names, cfg.num_heads,
-            cfg.use_layernorm, name="gnn",
+            cfg.use_layernorm, dtype=attn_dtype, name="gnn",
         )
 
         if cfg.input_dim != cfg.descriptor_dim:
@@ -85,9 +88,8 @@ class GMatcher(nn.Module):
         d0 = h0 + kenc(kpts0n, kept0, train)
         d1 = h1 + kenc(kpts1n, kept1, train)
 
-        if cfg.attention_dtype == "bfloat16":
-            d0 = d0.astype(jnp.bfloat16)
-            d1 = d1.astype(jnp.bfloat16)
+        d0 = d0.astype(attn_dtype)
+        d1 = d1.astype(attn_dtype)
         d0, d1 = gnn(d0, d1, kept0, kept1, train)
         d0 = d0.astype(jnp.float32)
         d1 = d1.astype(jnp.float32)

@@ -11,7 +11,7 @@ unpadded tensors exactly.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -88,23 +88,29 @@ class MLP1d(nn.Module):
 
     Mirrors the reference MLP() factory (reference: models/gmatcher.py:11-24):
     normalization + ReLU between all layers except after the last.
+
+    `dtype` selects the matmul compute dtype (bf16 runs the MXU at full
+    rate); normalization statistics always run in f32.
     """
 
     channels: Sequence[int]
     use_layernorm: bool = False
     do_bn: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, use_bias=True, name=f"dense_{i}")(x)
+            x = nn.Dense(ch, use_bias=True, dtype=self.dtype,
+                         name=f"dense_{i}")(x)
             if i < n - 1:
+                xf = x.astype(jnp.float32)
                 if self.use_layernorm:
-                    x = ChannelLayerNorm(ch, name=f"norm_{i}")(x, mask, train)
+                    xf = ChannelLayerNorm(ch, name=f"norm_{i}")(xf, mask, train)
                 elif self.do_bn:
-                    x = MaskedBatchNorm(ch, name=f"norm_{i}")(x, mask, train)
-                x = nn.relu(x)
+                    xf = MaskedBatchNorm(ch, name=f"norm_{i}")(xf, mask, train)
+                x = nn.relu(xf).astype(self.dtype)
         return x
 
 
@@ -138,22 +144,23 @@ class MultiHeadedAttention(nn.Module):
 
     num_heads: int
     d_model: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, key, value, key_mask):
         b, n, _ = query.shape
         m = key.shape[1]
         dim = self.d_model // self.num_heads
-        q = nn.Dense(self.d_model, name="proj_q")(query)
-        k = nn.Dense(self.d_model, name="proj_k")(key)
-        v = nn.Dense(self.d_model, name="proj_v")(value)
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(query)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(key)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(value)
         # channel c = d * num_heads + h  (torch .view(B, dim, heads, N))
         q = q.reshape(b, n, dim, self.num_heads).transpose(0, 1, 3, 2)
         k = k.reshape(b, m, dim, self.num_heads).transpose(0, 1, 3, 2)
         v = v.reshape(b, m, dim, self.num_heads).transpose(0, 1, 3, 2)
         x = masked_attention(q, k, v, key_mask)  # (B, N, H, D)
         x = x.transpose(0, 1, 3, 2).reshape(b, n, self.d_model)
-        return nn.Dense(self.d_model, name="merge")(x)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="merge")(x)
 
 
 class AttentionalPropagation(nn.Module):
@@ -162,16 +169,18 @@ class AttentionalPropagation(nn.Module):
     feature_dim: int
     num_heads: int
     use_layernorm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, source, x_mask, source_mask, train: bool):
         message = MultiHeadedAttention(
-            self.num_heads, self.feature_dim, name="attn"
+            self.num_heads, self.feature_dim, dtype=self.dtype, name="attn"
         )(x, source, source, source_mask)
         cat = jnp.concatenate([x, message], axis=-1)
         return MLP1d(
             [self.feature_dim * 2, self.feature_dim],
             self.use_layernorm,
+            dtype=self.dtype,
             name="mlp",
         )(cat, x_mask, train)
 
@@ -184,13 +193,14 @@ class AttentionalGNN(nn.Module):
     layer_names: Sequence[str]
     num_heads: int = 4
     use_layernorm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, desc0, desc1, mask0, mask1, train: bool):
         for i, name in enumerate(self.layer_names):
             layer = AttentionalPropagation(
                 self.feature_dim, self.num_heads, self.use_layernorm,
-                name=f"layer_{i}",
+                dtype=self.dtype, name=f"layer_{i}",
             )
             if name == "cross":
                 src0, src1 = desc1, desc0
@@ -200,8 +210,8 @@ class AttentionalGNN(nn.Module):
                 sm0, sm1 = mask0, mask1
             delta0 = layer(desc0, src0, mask0, sm0, train)
             delta1 = layer(desc1, src1, mask1, sm1, train)
-            desc0 = desc0 + delta0
-            desc1 = desc1 + delta1
+            desc0 = desc0 + delta0.astype(desc0.dtype)
+            desc1 = desc1 + delta1.astype(desc1.dtype)
         return desc0, desc1
 
 
