@@ -181,7 +181,8 @@ def build_graph(
     threshold = kth_smallest_masked(sim, triu, k, lo=-1.001, hi=1.001)
 
     # --- candidate edges: within radius AND similarity >= threshold ---
-    within = d2 <= jnp.float32(radius) * jnp.float32(radius)
+    radius = jnp.asarray(radius, jnp.float32)  # traced: sweeps don't recompile
+    within = d2 <= radius * radius
     adj = pair_valid & off_diag & within & (sim >= threshold)
 
     # --- connect isolated nodes to the nearest spatial neighbor ---
@@ -198,7 +199,7 @@ def build_graph(
     safe_labels = jnp.minimum(labels, n - 1)
     sizes = jax.ops.segment_sum(valid.astype(jnp.int32), safe_labels,
                                 num_segments=n)
-    kept = valid & (sizes[safe_labels] >= min_size)
+    kept = valid & (sizes[safe_labels] >= jnp.asarray(min_size, jnp.int32))
 
     # --- drop edges touching removed nodes, then reconnect survivors ---
     adj = adj & kept[:, None] & kept[None, :]

@@ -30,12 +30,16 @@ from gims_tpu.matcher.gmatcher import GMatcher
 from gims_tpu.agc.graph import delaunay_adjacency_host
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _jit_forward(variables, mcfg, acfg, image_shape,
-                 kpts0, desc0, valid0, kpts1, desc1, valid1, k0, k1):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _jit_forward(variables, mcfg, image_shape,
+                 kpts0, desc0, valid0, kpts1, desc1, valid1, k0, k1,
+                 radius, min_size):
+    # AGC knobs travel as traced scalars: sweeping radius/percentile/
+    # min_size (tools/parameter_search) replays one executable
     return pipeline.forward_match(
-        variables, mcfg, acfg, kpts0, desc0, valid0, kpts1, desc1, valid1,
-        image_shape, k0=k0, k1=k1,
+        variables, mcfg, AGCConfig(), kpts0, desc0, valid0,
+        kpts1, desc1, valid1, image_shape, k0=k0, k1=k1,
+        radius=radius, min_size=min_size,
     )
 
 
@@ -145,10 +149,11 @@ class Matching:
             k0 = pipeline.percentile_rank(f0["n"], acfg.percentile)
             k1 = pipeline.percentile_rank(f1["n"], acfg.percentile)
             out = _jit_forward(
-                self.variables, mcfg, acfg, image_shape,
+                self.variables, mcfg, image_shape,
                 f0["kpts"][None], f0["desc"][None], f0["valid"][None],
                 f1["kpts"][None], f1["desc"][None], f1["valid"][None],
                 jnp.asarray([k0], np.int32), jnp.asarray([k1], np.int32),
+                jnp.float32(acfg.radius), jnp.int32(acfg.min_size),
             )
         # download only the small outputs (and descriptors on request)
         host = {}

@@ -20,16 +20,21 @@ from gims_tpu.matcher import sinkhorn
 from gims_tpu.matcher.gmatcher import GMatcher, normalize_keypoints
 
 
-def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None):
+def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None,
+            radius=None, min_size=None):
     """Batched AGC. kpts (B,N,2), descs (B,N,D), valid (B,N).
 
     `k` is the optional per-item percentile rank (B,) computed host-side.
+    `radius`/`min_size` may be traced scalars (parameter sweeps replay the
+    same executable); they default to the acfg values.
     Returns (adj (B,N,N), kept (B,N))."""
+    radius = acfg.radius if radius is None else radius
+    min_size = acfg.min_size if min_size is None else min_size
     fn = functools.partial(
         build_graph,
-        radius=acfg.radius,
+        radius=radius,
         percentile=acfg.percentile,
-        min_size=acfg.min_size,
+        min_size=min_size,
         cc_rounds=acfg.cc_rounds,
     )
     if k is None:
@@ -62,6 +67,7 @@ def forward_match(
     image_shape,          # (H, W) static python ints
     k0=None, k1=None,
     adj0=None, adj1=None,  # optional precomputed adjacency (Delaunay path)
+    radius=None, min_size=None,  # optional traced AGC knobs
 ):
     """Inference for a batch of pairs. All arrays padded to buckets.
 
@@ -69,11 +75,11 @@ def forward_match(
     compacts them to the reference's dict contract, see api.py).
     """
     if adj0 is None:
-        adj0, kept0 = run_agc(kpts0, desc0, valid0, acfg, k0)
+        adj0, kept0 = run_agc(kpts0, desc0, valid0, acfg, k0, radius, min_size)
     else:
         kept0 = valid0
     if adj1 is None:
-        adj1, kept1 = run_agc(kpts1, desc1, valid1, acfg, k1)
+        adj1, kept1 = run_agc(kpts1, desc1, valid1, acfg, k1, radius, min_size)
     else:
         kept1 = valid1
 
