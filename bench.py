@@ -57,32 +57,48 @@ def main():
             "sinkhorn_iterations": 20,
             "match_threshold": 0.02,
             "max_keypoints": 12288,
-            # bf16 in the attention trunk: MXU runs at full rate; scores,
-            # Sinkhorn, and extraction stay f32
-            "attention_dtype": "bfloat16",
+            # NOTE: bf16 attention currently lowers poorly through the
+            # remote-compile path (20x slower than f32) — keep f32 until
+            # the Pallas flash kernel lands.
+            "attention_dtype": "float32",
         })
 
-        pairs = make_images(6)
+        pairs = make_images(8)
         agc = {"radius": 15, "percentile": 2, "min_size": 7}
 
-        def run(pair):
+        def run(pair, feats=None):
             img0, img1 = pair
-            return matcher({
+            data = {
                 "image0": img0[None], "image1": img1[None], **agc,
                 "return_descriptors": False,
-            })
+            }
+            if feats is not None:
+                data["features"] = feats
+            return matcher(data)
 
         # warmup / compile (two pairs to cover residual bucket jitter)
         for p in pairs[:2]:
             run(p)
 
+        # Pipelined timing: a worker thread runs the host-side frontend of
+        # pair i+1 (SIFT detect + async device dispatch) while the main
+        # thread finishes pair i's matcher download.
+        from concurrent.futures import ThreadPoolExecutor
+
         timed = pairs[2:]
-        t0 = time.perf_counter()
         total_matches = 0
-        for p in timed:
-            pred = run(p)
-            total_matches += int((pred["matches0"][0] > -1).sum())
-        elapsed = time.perf_counter() - t0
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            t0 = time.perf_counter()
+            fut = pool.submit(matcher.prepare_features, timed[0], agc)
+            for i, p in enumerate(timed):
+                feats = fut.result()
+                if i + 1 < len(timed):
+                    fut = pool.submit(
+                        matcher.prepare_features, timed[i + 1], agc
+                    )
+                pred = run(p, feats)
+                total_matches += int((pred["matches0"][0] > -1).sum())
+            elapsed = time.perf_counter() - t0
         fps = len(timed) / elapsed
 
         import jax

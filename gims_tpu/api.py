@@ -109,7 +109,11 @@ class Matching:
 
         feats = {}
         t0 = time.perf_counter()
+        precomputed = data.get("features")
         for side in ("0", "1"):
+            if precomputed is not None:
+                feats[side] = precomputed[side]
+                continue
             if f"keypoints{side}" in data:
                 kpts = np.asarray(data[f"keypoints{side}"])
                 descs = _desc_nd(np.asarray(data[f"descriptors{side}"]))
@@ -171,6 +175,24 @@ class Matching:
             **{f"frontend_{k}": v for k, v in self.frontend.timings.items()},
         }
         return self._compact(host, f0, f1, return_desc)
+
+    def prepare_features(self, pair, agc=None):
+        """Run the frontend for a pair ahead of time (pipelining hook).
+
+        Host SIFT runs here; the device work is dispatched asynchronously,
+        so a worker thread can overlap this with the previous pair's
+        matcher. Returns the dict to pass as data["features"]."""
+        img0, img1 = pair
+        feats = {}
+        for side, img in (("0", img0), ("1", img1)):
+            f = self.frontend.extract_padded(
+                _as_hw3(img), max_keypoints=self.max_keypoints
+            )
+            nb = f["kpts"].shape[0]
+            kp_p = np.full((nb, 2), 1e6, np.float32)
+            kp_p[: f["n"]] = f["kp"].pt[: f["n"]]
+            feats[side] = {**f, "kpts_host": kp_p}
+        return feats
 
     def _compact(self, out, f0, f1, return_desc):
         kept0 = out["kept0"][0]

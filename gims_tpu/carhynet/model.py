@@ -232,3 +232,57 @@ class CARHyNet(nn.Module):
         if train:
             return desc, desc_raw
         return desc
+
+
+class HyNet(nn.Module):
+    """Plain HyNet (reference ablation model, carhynet/models.py:401-459):
+    CAR-HyNet without CoordAtt/SandGlass, grayscale input."""
+
+    dim_desc: int = 128
+    drop_rate: float = 0.2
+    in_channels: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims = [(32, 1), (32, 1), (64, 2), (64, 1), (128, 2), (128, 1)]
+        x = FRN(self.in_channels, name="frn_in")(x)
+        x = TLU(self.in_channels, name="tlu_in")(x)
+        for i, (c, s) in enumerate(dims):
+            x = _conv(c, 3, stride=s, bias=True, name=f"conv_{i}")(x)
+            x = FRN(c, name=f"frn_{i}")(x)
+            x = TLU(c, name=f"tlu_{i}")(x)
+        if train and self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate, deterministic=False)(x)
+        x = nn.Conv(self.dim_desc, (8, 8), padding="VALID", use_bias=False,
+                    name="head_conv")(x)
+        x = _bn("head_bn", train, affine=False)(x)
+        desc_raw = x.reshape(x.shape[0], self.dim_desc)
+        desc = desc_l2norm(desc_raw)
+        return (desc, desc_raw) if train else desc
+
+
+class L2Net(nn.Module):
+    """L2Net baseline (reference ablation model, carhynet/models.py:461-518):
+    BN+ReLU conv stack, affine-less norms."""
+
+    dim_desc: int = 128
+    drop_rate: float = 0.3
+    in_channels: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # InstanceNorm (affine-less) on input
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        dims = [(32, 1), (32, 1), (64, 2), (64, 1), (128, 2), (128, 1)]
+        for i, (c, s) in enumerate(dims):
+            x = _conv(c, 3, stride=s, name=f"conv_{i}")(x)
+            x = _bn(f"bn_{i}", train, affine=False)(x)
+            x = nn.relu(x)
+        if train and self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate, deterministic=False)(x)
+        x = nn.Conv(self.dim_desc, (8, 8), padding="VALID", use_bias=False,
+                    name="head_conv")(x)
+        x = _bn("head_bn", train, affine=False)(x)
+        return desc_l2norm(x.reshape(x.shape[0], self.dim_desc))
