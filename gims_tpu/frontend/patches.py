@@ -129,33 +129,44 @@ def _warp_chunk(levels_flat, h, w, level_idx, ainv, interpolation):
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
+def warp_patches_chunk(levels, level_idx, ainv, interpolation="cubic"):
+    """One fixed-size chunk: level_idx/ainv have exactly WARP_CHUNK rows.
+
+    Keeping the chunk size FIXED is essential on TPU: keypoint counts per
+    octave vary per image, and shape-polymorphic kernels would recompile
+    (tens of seconds through the remote-compile path) mid-stream. With
+    fixed chunks there are exactly num_octaves compiled kernels, ever.
+    """
+    lnum, h, w, c = levels.shape
+    flat = levels.reshape(lnum * h * w, c)
+    return _warp_chunk(flat, h, w, level_idx, ainv, interpolation)
+
+
 def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
     """levels: (L, H, W, C) f32; level_idx: (K,) i32; ainv: (K, 2, 3).
 
     Returns (K, 32, 32, C) f32 (0..255 range preserved; caller normalizes).
+    Host loop over fixed WARP_CHUNK-sized compiled chunks.
     """
-    lnum, h, w, c = levels.shape
     kcount = level_idx.shape[0]
-    flat = levels.reshape(lnum * h * w, c)
-
-    if kcount <= WARP_CHUNK:
-        return _warp_chunk(flat, h, w, level_idx, ainv, interpolation)
-
+    c = levels.shape[-1]
     nchunks = -(-kcount // WARP_CHUNK)
     pad = nchunks * WARP_CHUNK - kcount
     li = jnp.pad(level_idx, (0, pad)).reshape(nchunks, WARP_CHUNK)
     av = jnp.pad(ainv, ((0, pad), (0, 0), (0, 0))).reshape(
         nchunks, WARP_CHUNK, 2, 3
     )
-    out = jax.lax.map(
-        lambda args: _warp_chunk(flat, h, w, args[0], args[1], interpolation),
-        (li, av),
-    )
-    return out.reshape(nchunks * WARP_CHUNK, OUT_SIZE, OUT_SIZE, c)[:kcount]
+    outs = [
+        warp_patches_chunk(levels, li[i], av[i], interpolation)
+        for i in range(nchunks)
+    ]
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return out[:kcount]
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_patches(out, sel, patches):
+    # sel is fixed WARP_CHUNK-sized; out-of-range sentinel rows are dropped
     return out.at[sel].set(patches)
 
 
@@ -184,17 +195,21 @@ def extract_patches_device(
         sel = sel[sel < out_bucket]
         if sel.size == 0:
             continue
-        kb = bucket_size(sel.size, KP_BUCKETS)
+        nchunks = -(-sel.size // WARP_CHUNK)
+        kb = nchunks * WARP_CHUNK
         lv = np.zeros((kb,), np.int32)
         av = np.zeros((kb, 2, 3), np.float32)
+        selp = np.full((kb,), out_bucket, np.int32)  # OOB rows dropped
         lv[: sel.size] = kp.layer[sel]
         av[: sel.size] = ainv[sel]
-        patches = warp_patches_level(
-            pyramid[o], jnp.asarray(lv), jnp.asarray(av), interpolation
-        )
-        selp = np.full((kb,), out_bucket, np.int32)  # OOB rows dropped
         selp[: sel.size] = sel
-        out = _scatter_patches(out, jnp.asarray(selp), patches)
+        for i in range(nchunks):
+            s = slice(i * WARP_CHUNK, (i + 1) * WARP_CHUNK)
+            patches = warp_patches_chunk(
+                pyramid[o], jnp.asarray(lv[s]), jnp.asarray(av[s]),
+                interpolation,
+            )
+            out = _scatter_patches(out, jnp.asarray(selp[s]), patches)
     return out / 255.0
 
 

@@ -52,11 +52,23 @@ def search_process(matcher, param, image0, image1, image0_name, image1_name,
 
     save_file = os.path.join(result_path, "record")
     columns = ["r", "t", "m", "correct_matches", "total_matches", "time"]
-    xlsx = save_file + ".xlsx"
-    df_prev = pd.read_excel(xlsx) if os.path.exists(xlsx) else None
-    df_new = pd.DataFrame([row], columns=columns)
-    df = pd.concat([df_prev, df_new], ignore_index=True) if df_prev is not None else df_new
-    df.to_excel(xlsx, index=False)
+    try:  # xlsx needs openpyxl; fall back to csv with the xlsx name
+        xlsx = save_file + ".xlsx"
+        df_prev = pd.read_excel(xlsx) if os.path.exists(xlsx) else None
+        df_new = pd.DataFrame([row], columns=columns)
+        df = (pd.concat([df_prev, df_new], ignore_index=True)
+              if df_prev is not None else df_new)
+        df.to_excel(xlsx, index=False)
+    except (ImportError, ValueError):
+        import csv
+
+        path = save_file + ".csv"
+        new = not os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(columns)
+            w.writerow(row)
     with open(save_file + ".txt", "a+") as f:
         f.write(f"{row}\n")
     return row
