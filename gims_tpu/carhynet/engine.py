@@ -40,6 +40,8 @@ class DescriptorEngine:
 
         @functools.partial(jax.jit, static_argnums=())
         def _apply(vars_, patches):
+            # accepts (N, 32, 32, 3) or the flat (N, 3072) device layout
+            patches = patches.reshape(-1, 32, 32, 3)
             return self.model.apply(vars_, patches, train=False)
 
         self._apply = _apply

@@ -74,21 +74,29 @@ def _linear_weights(t):
 WARP_CHUNK = 512
 
 
-def _warp_chunk(levels_flat, h, w, level_idx, ainv, interpolation):
-    """One chunk: level_idx (k,), ainv (k, 2, 3) -> (k, 32, 32, C)."""
+def _warp_chunk(levels_1d, h, w, channels, level_idx, ainv, interpolation):
+    """One chunk: level_idx (k,), ainv (k, 2, 3) -> (k, 32*32*C) flat.
+
+    TPU layout note: all large intermediates are (k, 4096) — lane dim 4096
+    is a multiple of 128, so nothing is tile-padded. Gathers run per
+    channel from the fully flattened pyramid (a (..., 3) gather output
+    would pad its minor dim 3 -> 128 lanes: 42x memory/bandwidth waste).
+    """
+    k = level_idx.shape[0]
+    npix = WARP_SIZE * WARP_SIZE
     xs = jnp.arange(WARP_SIZE, dtype=jnp.float32)
-    gx = jnp.broadcast_to(xs[None, :], (WARP_SIZE, WARP_SIZE))
-    gy = jnp.broadcast_to(xs[:, None], (WARP_SIZE, WARP_SIZE))
+    gx = jnp.tile(xs, WARP_SIZE)                      # (4096,) x-fast
+    gy = jnp.repeat(xs, WARP_SIZE)                    # (4096,)
 
     sx = (
-        ainv[:, 0, 0, None, None] * gx
-        + ainv[:, 0, 1, None, None] * gy
-        + ainv[:, 0, 2, None, None]
-    )  # (k, 64, 64)
+        ainv[:, 0, 0, None] * gx[None, :]
+        + ainv[:, 0, 1, None] * gy[None, :]
+        + ainv[:, 0, 2, None]
+    )  # (k, 4096)
     sy = (
-        ainv[:, 1, 0, None, None] * gx
-        + ainv[:, 1, 1, None, None] * gy
-        + ainv[:, 1, 2, None, None]
+        ainv[:, 1, 0, None] * gx[None, :]
+        + ainv[:, 1, 1, None] * gy[None, :]
+        + ainv[:, 1, 2, None]
     )
 
     fx = jnp.floor(sx)
@@ -107,10 +115,8 @@ def _warp_chunk(levels_flat, h, w, level_idx, ainv, interpolation):
         wy = _linear_weights(ty)
         offs = (0, 1)
 
-    k = level_idx.shape[0]
-    c = levels_flat.shape[-1]
-    base = level_idx[:, None, None] * (h * w)
-    acc = jnp.zeros((k, WARP_SIZE, WARP_SIZE, c), jnp.float32)
+    base = level_idx[:, None] * (h * w)
+    accs = [jnp.zeros((k, npix), jnp.float32) for _ in range(channels)]
     for a, dy in enumerate(offs):
         yy = iy + dy
         y_ok = (yy >= 0) & (yy < h)
@@ -119,18 +125,25 @@ def _warp_chunk(levels_flat, h, w, level_idx, ainv, interpolation):
             xx = ix + dx
             ok = y_ok & (xx >= 0) & (xx < w)
             xc = jnp.clip(xx, 0, w - 1)
-            idx = base + yc * w + xc
-            vals = jnp.take(levels_flat, idx, axis=0)  # (k, 64, 64, C)
+            idx = (base + yc * w + xc) * channels
             wgt = (wy[a] * wx[b]) * ok.astype(jnp.float32)
-            acc = acc + vals * wgt[..., None]
+            for ch in range(channels):
+                vals = jnp.take(levels_1d, idx + ch, axis=0)  # (k, 4096)
+                accs[ch] = accs[ch] + vals * wgt
 
-    # INTER_AREA 64 -> 32 == exact 2x2 box average
-    return acc.reshape(k, OUT_SIZE, 2, OUT_SIZE, 2, c).mean(axis=(2, 4))
+    # INTER_AREA 64 -> 32 == exact 2x2 box average, per channel
+    outs = []
+    for ch in range(channels):
+        img = accs[ch].reshape(k, OUT_SIZE, 2, OUT_SIZE, 2)
+        outs.append(img.mean(axis=(2, 4)))            # (k, 32, 32)
+    out = jnp.stack(outs, axis=-1)                    # (k, 32, 32, C)
+    return out.reshape(k, OUT_SIZE * OUT_SIZE * channels)
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def warp_patches_chunk(levels, level_idx, ainv, interpolation="cubic"):
     """One fixed-size chunk: level_idx/ainv have exactly WARP_CHUNK rows.
+    Returns (WARP_CHUNK, 32*32*C) flat patches.
 
     Keeping the chunk size FIXED is essential on TPU: keypoint counts per
     octave vary per image, and shape-polymorphic kernels would recompile
@@ -138,8 +151,8 @@ def warp_patches_chunk(levels, level_idx, ainv, interpolation="cubic"):
     fixed chunks there are exactly num_octaves compiled kernels, ever.
     """
     lnum, h, w, c = levels.shape
-    flat = levels.reshape(lnum * h * w, c)
-    return _warp_chunk(flat, h, w, level_idx, ainv, interpolation)
+    flat = levels.reshape(lnum * h * w * c)
+    return _warp_chunk(flat, h, w, c, level_idx, ainv, interpolation)
 
 
 def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
@@ -161,7 +174,7 @@ def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
         for i in range(nchunks)
     ]
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return out[:kcount]
+    return out[:kcount].reshape(kcount, OUT_SIZE, OUT_SIZE, c)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -185,7 +198,10 @@ def extract_patches_device(
     """
     n = len(kp)
     ch = int(pyramid[0].shape[-1]) if len(pyramid) else 3
-    out = jnp.zeros((out_bucket, OUT_SIZE, OUT_SIZE, ch), jnp.float32)
+    # flat (bucket, 32*32*C) buffer: lane dim is a multiple of 128, so the
+    # scatter and all consumers are tile-aligned (a trailing C=3 would pad
+    # 3 -> 128 lanes in HBM)
+    out = jnp.zeros((out_bucket, OUT_SIZE * OUT_SIZE * ch), jnp.float32)
     if n == 0:
         return out
     ainv = inverse_affines(kp)
@@ -220,10 +236,10 @@ def extract_patches(
 ) -> np.ndarray:
     """Host-output variant of extract_patches_device (tests / tools)."""
     n = len(kp)
+    ch = int(pyramid[0].shape[-1]) if len(pyramid) else 3
     if n == 0:
-        ch = int(pyramid[0].shape[-1]) if len(pyramid) else 3
         return np.zeros((0, OUT_SIZE, OUT_SIZE, ch), np.float32)
     dev = extract_patches_device(
         pyramid, kp, bucket_size(n, KP_BUCKETS), interpolation
     )
-    return np.asarray(dev)[:n]
+    return np.asarray(dev)[:n].reshape(n, OUT_SIZE, OUT_SIZE, ch)
