@@ -61,6 +61,8 @@ def main():
             # remote-compile path (20x slower than f32) — keep f32 until
             # the Pallas flash kernel lands.
             "attention_dtype": "float32",
+            # linear taps + direct 32x32 sampling: 12x fewer gather rows
+            "fast_frontend": True,
         })
 
         pairs = make_images(8)

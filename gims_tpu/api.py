@@ -92,7 +92,17 @@ class Matching:
         if variables is None:
             variables = init_gmatcher_variables(self.cfg.matcher, seed)
         self.variables = variables
-        self.frontend = frontend or FeatureFrontend(self.cfg.frontend)
+        fe_cfg = self.cfg.frontend
+        if isinstance(config, dict) and config.get("fast_frontend"):
+            import dataclasses
+
+            # fast mode: linear taps + direct 32x32 sampling — 12x fewer
+            # gather rows (the TPU gather unit is row-count-bound); small
+            # descriptor-quality tradeoff, see frontend/patches.py
+            fe_cfg = dataclasses.replace(
+                fe_cfg, interpolation="linear", warp_size=32
+            )
+        self.frontend = frontend or FeatureFrontend(fe_cfg)
         self.timings = {}
 
     def __call__(self, data: dict) -> dict:

@@ -94,7 +94,7 @@ class FeatureFrontend:
         h, w = image_bgr.shape[:2]
         pyramid = pyramid_from_uint8(jnp.asarray(image_bgr), h, w)
         patches = extract_patches_device(
-            pyramid, kp, nb, self.cfg.interpolation
+            pyramid, kp, nb, self.cfg.interpolation, self.cfg.warp_size
         )
         t2 = time.perf_counter()
         desc128 = self.engine.compute_device(patches)

@@ -74,19 +74,25 @@ def _linear_weights(t):
 WARP_CHUNK = 512
 
 
-def _warp_chunk(levels_1d, h, w, channels, level_idx, ainv, interpolation):
-    """One chunk: level_idx (k,), ainv (k, 2, 3) -> (k, 32*32*C) flat.
+def _warp_chunk(levels_1d, h, w, channels, level_idx, ainv, interpolation,
+                warp_size=WARP_SIZE):
+    """One chunk: level_idx (k,), ainv (k, 2, 3) -> (k, out*out*C) flat.
 
-    TPU layout note: all large intermediates are (k, 4096) — lane dim 4096
-    is a multiple of 128, so nothing is tile-padded. Gathers run per
-    channel from the fully flattened pyramid (a (..., 3) gather output
+    TPU layout note: all large intermediates are (k, warp_size^2) — the
+    lane dim is a multiple of 128, so nothing is tile-padded. Gathers run
+    per channel from the fully flattened pyramid (a (..., 3) gather output
     would pad its minor dim 3 -> 128 lanes: 42x memory/bandwidth waste).
     """
     k = level_idx.shape[0]
-    npix = WARP_SIZE * WARP_SIZE
-    xs = jnp.arange(WARP_SIZE, dtype=jnp.float32)
-    gx = jnp.tile(xs, WARP_SIZE)                      # (4096,) x-fast
-    gy = jnp.repeat(xs, WARP_SIZE)                    # (4096,)
+    npix = warp_size * warp_size
+    xs = jnp.arange(warp_size, dtype=jnp.float32)
+    if warp_size != WARP_SIZE:
+        # direct low-res sampling: place the small grid at the area-average
+        # centers of the full-size grid (x64 = 2*x32 + 0.5 for 32 vs 64)
+        ratio = WARP_SIZE / warp_size
+        xs = xs * ratio + (ratio - 1.0) / 2.0
+    gx = jnp.tile(xs, warp_size)                      # (npix,) x-fast
+    gy = jnp.repeat(xs, warp_size)                    # (npix,)
 
     sx = (
         ainv[:, 0, 0, None] * gx[None, :]
@@ -131,17 +137,22 @@ def _warp_chunk(levels_1d, h, w, channels, level_idx, ainv, interpolation):
                 vals = jnp.take(levels_1d, idx + ch, axis=0)  # (k, 4096)
                 accs[ch] = accs[ch] + vals * wgt
 
-    # INTER_AREA 64 -> 32 == exact 2x2 box average, per channel
     outs = []
-    for ch in range(channels):
-        img = accs[ch].reshape(k, OUT_SIZE, 2, OUT_SIZE, 2)
-        outs.append(img.mean(axis=(2, 4)))            # (k, 32, 32)
+    if warp_size == 2 * OUT_SIZE:
+        # INTER_AREA 64 -> 32 == exact 2x2 box average, per channel
+        for ch in range(channels):
+            img = accs[ch].reshape(k, OUT_SIZE, 2, OUT_SIZE, 2)
+            outs.append(img.mean(axis=(2, 4)))        # (k, 32, 32)
+    else:
+        for ch in range(channels):
+            outs.append(accs[ch].reshape(k, OUT_SIZE, OUT_SIZE))
     out = jnp.stack(outs, axis=-1)                    # (k, 32, 32, C)
     return out.reshape(k, OUT_SIZE * OUT_SIZE * channels)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def warp_patches_chunk(levels, level_idx, ainv, interpolation="cubic"):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def warp_patches_chunk(levels, level_idx, ainv, interpolation="cubic",
+                       warp_size=WARP_SIZE):
     """One fixed-size chunk: level_idx/ainv have exactly WARP_CHUNK rows.
     Returns (WARP_CHUNK, 32*32*C) flat patches.
 
@@ -149,10 +160,15 @@ def warp_patches_chunk(levels, level_idx, ainv, interpolation="cubic"):
     octave vary per image, and shape-polymorphic kernels would recompile
     (tens of seconds through the remote-compile path) mid-stream. With
     fixed chunks there are exactly num_octaves compiled kernels, ever.
+
+    warp_size: 64 = reference parity (warp 64x64 cubic then 2x2 box
+    average); 32 = fast mode (sample the 32x32 grid directly — 4x fewer
+    gather rows, the TPU gather unit is row-count-bound at ~45M rows/s).
     """
     lnum, h, w, c = levels.shape
     flat = levels.reshape(lnum * h * w * c)
-    return _warp_chunk(flat, h, w, c, level_idx, ainv, interpolation)
+    return _warp_chunk(flat, h, w, c, level_idx, ainv, interpolation,
+                       warp_size)
 
 
 def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
@@ -188,6 +204,7 @@ def extract_patches_device(
     kp: KeypointArrays,
     out_bucket: int,
     interpolation: str = "cubic",
+    warp_size: int = WARP_SIZE,
 ):
     """All keypoints -> DEVICE (out_bucket, 32, 32, C) f32 patches in [0,1].
 
@@ -223,7 +240,7 @@ def extract_patches_device(
             s = slice(i * WARP_CHUNK, (i + 1) * WARP_CHUNK)
             patches = warp_patches_chunk(
                 pyramid[o], jnp.asarray(lv[s]), jnp.asarray(av[s]),
-                interpolation,
+                interpolation, warp_size,
             )
             out = _scatter_patches(out, jnp.asarray(selp[s]), patches)
     return out / 255.0

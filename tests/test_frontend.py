@@ -154,3 +154,28 @@ def test_detect_train_topup():
     kp = fsift.detect(img, cfg, max_keypoints=5000, train_topup=True,
                       rng=np.random.RandomState(0))
     assert len(kp) == 5000
+
+
+def test_fast_mode_quality():
+    """Fast mode (linear, direct 32) must stay close to parity patches."""
+    from gims_tpu.frontend.patches import extract_patches_device
+    from gims_tpu.frontend.pyramid import pyramid_from_uint8
+    from gims_tpu.frontend import sift as fs
+    from gims_tpu.config import FrontendConfig
+    import jax.numpy as jnp
+
+    img = synthetic_image(120, 160, seed=9)
+    kp = fs.detect(img, FrontendConfig())
+    pyr = pyramid_from_uint8(jnp.asarray(img), 120, 160)
+    nb = 256
+    par = np.asarray(extract_patches_device(pyr, kp, nb, "cubic", 64))
+    fast = np.asarray(extract_patches_device(pyr, kp, nb, "linear", 32))
+    n = min(len(kp), nb)
+    a = par[:n].reshape(n, -1)
+    b = fast[:n].reshape(n, -1)
+    # high per-patch correlation between the two modes
+    a_c = a - a.mean(1, keepdims=True)
+    b_c = b - b.mean(1, keepdims=True)
+    denom = np.linalg.norm(a_c, axis=1) * np.linalg.norm(b_c, axis=1) + 1e-9
+    corr = (a_c * b_c).sum(1) / denom
+    assert np.median(corr) > 0.9, float(np.median(corr))
