@@ -65,7 +65,7 @@ def main():
             "fast_frontend": True,
         })
 
-        pairs = make_images(8)
+        pairs = make_images(13)
         agc = {"radius": 15, "percentile": 2, "min_size": 7}
 
         def run(pair, feats=None):
@@ -78,8 +78,8 @@ def main():
                 data["features"] = feats
             return matcher(data)
 
-        # warmup / compile (two pairs to cover residual bucket jitter)
-        for p in pairs[:2]:
+        # warmup / compile (three pairs cover all octave/bucket kernels)
+        for p in pairs[:3]:
             run(p)
 
         # Pipelined timing: a worker thread runs the host-side frontend of
@@ -87,7 +87,7 @@ def main():
         # thread finishes pair i's matcher download.
         from concurrent.futures import ThreadPoolExecutor
 
-        timed = pairs[2:]
+        timed = pairs[3:]
         total_matches = 0
         with ThreadPoolExecutor(max_workers=1) as pool:
             t0 = time.perf_counter()

@@ -44,7 +44,10 @@ def masked_attention_flash(q, k, v, key_mask, block_size=FLASH_BLOCK,
     """Streaming-softmax attention over key blocks (flash-style).
 
     Equivalent to the direct path up to float rounding; never materializes
-    more than (B, H, N, block_size) scores at once.
+    more than (B, H, N, block_size) scores at once. Operands are
+    pre-transposed to (B, H, N, D) once so the per-block dot_generals have
+    leading batch dims (b, h) and a minor-most contraction — the layout
+    the MXU wants — instead of transposing inside every scan step.
     """
     b, n, h, d = q.shape
     m = k.shape[1]
@@ -56,18 +59,26 @@ def masked_attention_flash(q, k, v, key_mask, block_size=FLASH_BLOCK,
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
         key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
-    kb = k.reshape(b, nblocks, block_size, h, d).transpose(1, 0, 2, 3, 4)
-    vb = v.reshape(b, nblocks, block_size, h, d).transpose(1, 0, 2, 3, 4)
+
+    qt = q.transpose(0, 2, 1, 3)                      # (B, H, N, D)
+    kb = (
+        k.reshape(b, nblocks, block_size, h, d)
+        .transpose(1, 0, 3, 2, 4)                     # (blk, B, H, C, D)
+    )
+    vb = (
+        v.reshape(b, nblocks, block_size, h, d)
+        .transpose(1, 0, 3, 2, 4)
+    )
     mb = key_mask.reshape(b, nblocks, block_size).transpose(1, 0, 2)
 
-    acc0 = jnp.zeros((b, n, h, d), jnp.float32)
-    l0 = jnp.zeros((b, n, h), jnp.float32)
-    m0 = jnp.full((b, n, h), NEG_INF, jnp.float32)
+    acc0 = jnp.zeros((b, h, n, d), jnp.float32)
+    l0 = jnp.zeros((b, h, n), jnp.float32)
+    m0 = jnp.full((b, h, n), NEG_INF, jnp.float32)
 
     def step(carry, blk):
         acc, l, mx = carry
         kc, vc, mc = blk
-        s = jnp.einsum("bnhd,bchd->bnhc", q, kc, precision=precision)
+        s = jnp.einsum("bhnd,bhcd->bhnc", qt, kc, precision=precision)
         s = s.astype(jnp.float32) * scale
         s = jnp.where(mc[:, None, None, :], s, NEG_INF)
         mx_new = jnp.maximum(mx, jnp.max(s, axis=-1))
@@ -75,13 +86,13 @@ def masked_attention_flash(q, k, v, key_mask, block_size=FLASH_BLOCK,
         p = jnp.exp(s - mx_new[..., None])
         l = l * corr + jnp.sum(p, axis=-1)
         acc = acc * corr[..., None] + jnp.einsum(
-            "bnhc,bchd->bnhd", p.astype(q.dtype), vc, precision=precision
+            "bhnc,bhcd->bhnd", p.astype(q.dtype), vc, precision=precision
         ).astype(jnp.float32)
         return (acc, l, mx_new), None
 
     (acc, l, _), _ = jax.lax.scan(step, (acc0, l0, m0), (kb, vb, mb))
     out = acc / jnp.maximum(l, 1e-30)[..., None]
-    return out.astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)  # back to (B, N, H, D)
 
 
 def masked_attention(q, k, v, key_mask, precision=None):
