@@ -109,6 +109,18 @@ def device_peak_memory_gb() -> float:
         return 0.0
 
 
+def device_warmup(steps: int = 5) -> None:
+    """Warm the accelerator with a few matmuls before timing — the
+    reference's gpu_warmup capability (utils/common.py:809-820)."""
+    import jax.numpy as jnp
+
+    x = jnp.ones((1024, 1024), jnp.float32)
+    for _ in range(steps):
+        x = jnp.tanh(x @ x * 1e-3)
+    np_val = float(jnp.sum(x))  # force completion through a host readout
+    del np_val
+
+
 def send_notify(msg: str) -> None:
     """Best-effort completion notifier.
 
