@@ -67,11 +67,16 @@ def _linear_weights(t):
     return [1.0 - t, t]
 
 
-# Keypoints are processed in chunks under lax.map so only one chunk's
-# 16 bicubic tap tensors are ever live — without this XLA schedules all
-# gathers of the full keypoint set before the accumulation and OOMs at
-# ~12 GB for an 8k-keypoint octave.
+# Keypoints are processed in fixed-size chunks so only one chunk's tap
+# tensors are ever live — without this XLA schedules all gathers of the
+# full keypoint set before the accumulation and OOMs. Each gathered tap
+# (chunk, npix, 3) is tile-padded 3 -> 128 lanes in HBM, so the chunk is
+# sized to keep a padded tap tensor around 0.5 GB.
 WARP_CHUNK = 512
+
+
+def _chunk_for(warp_size):
+    return 512 if warp_size <= 32 else 256
 
 
 def _warp_chunk(levels_1d, h, w, channels, level_idx, ainv, interpolation,
@@ -122,6 +127,7 @@ def _warp_chunk(levels_1d, h, w, channels, level_idx, ainv, interpolation,
         offs = (0, 1)
 
     base = level_idx[:, None] * (h * w)
+    levels_rows = levels_1d.reshape(-1, channels)  # (L*H*W, C) pixel rows
     accs = [jnp.zeros((k, npix), jnp.float32) for _ in range(channels)]
     for a, dy in enumerate(offs):
         yy = iy + dy
@@ -131,11 +137,14 @@ def _warp_chunk(levels_1d, h, w, channels, level_idx, ainv, interpolation,
             xx = ix + dx
             ok = y_ok & (xx >= 0) & (xx < w)
             xc = jnp.clip(xx, 0, w - 1)
-            idx = (base + yc * w + xc) * channels
+            idx = base + yc * w + xc
             wgt = (wy[a] * wx[b]) * ok.astype(jnp.float32)
+            # one row-gather fetches all channels of a tap — the TPU
+            # gather unit is row-count-bound (~45M rows/s), so rows of 3
+            # cost the same as rows of 1
+            vals = jnp.take(levels_rows, idx, axis=0)  # (k, npix, C)
             for ch in range(channels):
-                vals = jnp.take(levels_1d, idx + ch, axis=0)  # (k, 4096)
-                accs[ch] = accs[ch] + vals * wgt
+                accs[ch] = accs[ch] + vals[..., ch] * wgt
 
     outs = []
     if warp_size == 2 * OUT_SIZE:
@@ -179,11 +188,12 @@ def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
     """
     kcount = level_idx.shape[0]
     c = levels.shape[-1]
-    nchunks = -(-kcount // WARP_CHUNK)
-    pad = nchunks * WARP_CHUNK - kcount
-    li = jnp.pad(level_idx, (0, pad)).reshape(nchunks, WARP_CHUNK)
+    chunk = _chunk_for(WARP_SIZE)
+    nchunks = -(-kcount // chunk)
+    pad = nchunks * chunk - kcount
+    li = jnp.pad(level_idx, (0, pad)).reshape(nchunks, chunk)
     av = jnp.pad(ainv, ((0, pad), (0, 0), (0, 0))).reshape(
-        nchunks, WARP_CHUNK, 2, 3
+        nchunks, chunk, 2, 3
     )
     outs = [
         warp_patches_chunk(levels, li[i], av[i], interpolation)
@@ -228,8 +238,9 @@ def extract_patches_device(
         sel = sel[sel < out_bucket]
         if sel.size == 0:
             continue
-        nchunks = -(-sel.size // WARP_CHUNK)
-        kb = nchunks * WARP_CHUNK
+        chunk = _chunk_for(warp_size)
+        nchunks = -(-sel.size // chunk)
+        kb = nchunks * chunk
         lv = np.zeros((kb,), np.int32)
         av = np.zeros((kb, 2, 3), np.float32)
         selp = np.full((kb,), out_bucket, np.int32)  # OOB rows dropped
@@ -237,7 +248,7 @@ def extract_patches_device(
         av[: sel.size] = ainv[sel]
         selp[: sel.size] = sel
         for i in range(nchunks):
-            s = slice(i * WARP_CHUNK, (i + 1) * WARP_CHUNK)
+            s = slice(i * chunk, (i + 1) * chunk)
             patches = warp_patches_chunk(
                 pyramid[o], jnp.asarray(lv[s]), jnp.asarray(av[s]),
                 interpolation, warp_size,
