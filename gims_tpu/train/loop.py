@@ -110,6 +110,9 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     weight_dir = save_dir / "weights"
     weight_dir.mkdir(parents=True, exist_ok=True)
     results_file = open(save_dir / "results.txt", "a")
+    # structured metrics stream (the reference's optional wandb logging,
+    # train.py:153-154, without the cloud dependency)
+    metrics_file = open(save_dir / "metrics.jsonl", "a")
 
     np.random.seed(tcfg.init_seed)
     rng = np.random.RandomState(tcfg.init_seed)
@@ -186,6 +189,18 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
                 results_file.write(
                     f"Epoch: {epoch} Iter: {it}, Loss: {mloss[0]}\n")
                 results_file.flush()
+            import json as _json
+
+            metrics_file.write(_json.dumps({
+                "epoch": epoch, "iter": it,
+                "pos_loss": metrics["pos_loss"],
+                "neg_loss": metrics["neg_loss"],
+                "total_loss": metrics["total_loss"],
+                "mloss": float(mloss[2]),
+                "data_time": t2 - t1, "preprocess_time": t3 - t2,
+                "model_time": t4 - t3,
+            }) + "\n")
+            metrics_file.flush()
             ckpt_state = _ckpt_payload(state, epoch, it)
             if (it + 1) % tcfg.lastiter_every == 0:
                 ckpt_io.save_orbax(str(weight_dir / "lastiter"), ckpt_state)
@@ -218,6 +233,7 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
         if 0 < max_steps <= global_step:
             break
     results_file.close()
+    metrics_file.close()
     return state
 
 
