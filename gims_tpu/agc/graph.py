@@ -67,7 +67,7 @@ def cosine_similarity_matrix(descs: jnp.ndarray) -> jnp.ndarray:
 
 
 def kth_smallest_masked(values: jnp.ndarray, mask: jnp.ndarray, k: jnp.ndarray,
-                        lo: float, hi: float, iters: int = 50) -> jnp.ndarray:
+                        lo: float, hi: float, iters: int = 34) -> jnp.ndarray:
     """Exact k-th (0-indexed) order statistic of values[mask] by bisection.
 
     Replaces np.partition(similarities, k)[k] (reference: agc.py:367-380)

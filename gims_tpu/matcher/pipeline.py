@@ -74,14 +74,32 @@ def forward_match(
     Returns dict with padded matches/scores plus kept masks (host code
     compacts them to the reference's dict contract, see api.py).
     """
-    if adj0 is None:
-        adj0, kept0 = run_agc(kpts0, desc0, valid0, acfg, k0, radius, min_size)
+    if adj0 is None and adj1 is None and kpts0.shape == kpts1.shape:
+        # same bucket on both sides: one batched AGC over the stacked pair
+        # halves the fixed per-call costs
+        b = kpts0.shape[0]
+        kk = None
+        if k0 is not None and k1 is not None:
+            kk = jnp.concatenate([jnp.atleast_1d(k0), jnp.atleast_1d(k1)])
+        adj, kept = run_agc(
+            jnp.concatenate([kpts0, kpts1]),
+            jnp.concatenate([desc0, desc1]),
+            jnp.concatenate([valid0, valid1]),
+            acfg, kk, radius, min_size,
+        )
+        adj0, adj1 = adj[:b], adj[b:]
+        kept0, kept1 = kept[:b], kept[b:]
     else:
-        kept0 = valid0
-    if adj1 is None:
-        adj1, kept1 = run_agc(kpts1, desc1, valid1, acfg, k1, radius, min_size)
-    else:
-        kept1 = valid1
+        if adj0 is None:
+            adj0, kept0 = run_agc(kpts0, desc0, valid0, acfg, k0, radius,
+                                  min_size)
+        else:
+            kept0 = valid0
+        if adj1 is None:
+            adj1, kept1 = run_agc(kpts1, desc1, valid1, acfg, k1, radius,
+                                  min_size)
+        else:
+            kept1 = valid1
 
     h, w = image_shape
     kpts0n = normalize_keypoints(kpts0, h, w, mcfg.normalization)
