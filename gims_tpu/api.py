@@ -79,6 +79,7 @@ class Matching:
                 sinkhorn_iterations=config.get("sinkhorn_iterations", 100),
                 match_threshold=config.get("match_threshold", 0.2),
                 attention_dtype=config.get("attention_dtype", "float32"),
+                use_pallas_sinkhorn=config.get("use_pallas_sinkhorn", False),
             )
             self.cfg = GIMSConfig(matcher=mcfg)
             self.max_keypoints = config.get("max_keypoints", -1)

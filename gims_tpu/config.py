@@ -50,6 +50,9 @@ class MatcherConfig:
     neg_loss_weight: float = 1.0
     # TPU-specific: compute attention in bfloat16 (accumulate f32).
     attention_dtype: str = "float32"
+    # Use the Pallas streaming Sinkhorn kernel (gims_tpu/matcher/
+    # pallas_sinkhorn.py) instead of the XLA loop. TPU only.
+    use_pallas_sinkhorn: bool = False
     # Keypoint-normalization convention. "gims" replicates the reference's
     # shape-unpacking of NHWC images in normalize_keypoints (reference:
     # models/gmatcher.py:26-33 receives (B,H,W,3) so "height"=W and

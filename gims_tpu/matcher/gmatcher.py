@@ -105,7 +105,16 @@ class GMatcher(nn.Module):
         bin_score = self.param(
             "bin_score", lambda *_: jnp.asarray(1.0, jnp.float32)
         )
-        Z = sinkhorn.log_optimal_transport(
-            scores, bin_score, cfg.sinkhorn_iterations, kept0, kept1
-        )
+        if cfg.use_pallas_sinkhorn:
+            from gims_tpu.matcher.pallas_sinkhorn import (
+                log_optimal_transport_pallas,
+            )
+
+            Z = log_optimal_transport_pallas(
+                scores, bin_score, cfg.sinkhorn_iterations, kept0, kept1
+            )
+        else:
+            Z = sinkhorn.log_optimal_transport(
+                scores, bin_score, cfg.sinkhorn_iterations, kept0, kept1
+            )
         return {"Z": Z, "mdesc0": mdesc0, "mdesc1": mdesc1, "scores": scores}
