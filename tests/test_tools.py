@@ -45,7 +45,8 @@ def test_parameter_search(tmp_path, tiny_matcher):
         assert len(r) == 6
     rec_dir = tmp_path / "out" / "a_b"
     assert (rec_dir / "record.txt").exists()
-    assert (rec_dir / "record.xlsx").exists()
+    # xlsx when openpyxl is present, csv fallback otherwise
+    assert (rec_dir / "record.xlsx").exists() or (rec_dir / "record.csv").exists()
 
 
 def test_parameter_visualize(tmp_path):
