@@ -32,6 +32,9 @@ def main(argv=None, dgims=False):
     parser.add_argument("--generate", type=int, default=0,
                         help="synthesize N benchmark pairs if assets missing")
     parser.add_argument("--delaunay", action="store_true", default=dgims)
+    parser.add_argument("--fast", action="store_true",
+                        help="TPU speed path: bf16 attention, Pallas OT, "
+                             "linear 32x32 patch sampling")
     args = parser.parse_args(argv)
 
     if args.generate and not os.path.exists(args.input_homography):
@@ -49,6 +52,19 @@ def main(argv=None, dgims=False):
            "min_size": args.agc_m}
     if args.delaunay:
         agc["delaunay"] = True
+    matcher = None
+    if args.fast:
+        from gims_tpu.api import Matching
+
+        matcher = Matching({
+            "weights_path": args.weights_path,
+            "sinkhorn_iterations": args.sinkhorn_iterations,
+            "match_threshold": args.match_threshold,
+            "max_keypoints": args.max_keypoints,
+            "attention_dtype": "bfloat16",
+            "use_pallas_sinkhorn": True,
+            "fast_frontend": True,
+        })
     results = run_benchmark(
         args.input_homography, args.input_dir,
         args.output_dir + "_" + args.name,
@@ -62,6 +78,7 @@ def main(argv=None, dgims=False):
         shuffle=not args.no_shuffle,
         min_matches=args.min_matches,
         save_viz=args.save_viz,
+        matcher=matcher,
     )
     return results
 
