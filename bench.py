@@ -53,7 +53,18 @@ def main():
 
         from gims_tpu.api import Matching
 
-        matcher = Matching({
+        import os
+
+        variables = None
+        synth_weights = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "weights", "gims_tpu_synth.npz",
+        )
+        if os.path.exists(synth_weights):
+            from gims_tpu.core.checkpoint import unflatten_npz
+
+            variables = unflatten_npz(synth_weights)
+        matcher = Matching(variables=variables, config={
             "sinkhorn_iterations": 20,
             "match_threshold": 0.02,
             "max_keypoints": 12288,

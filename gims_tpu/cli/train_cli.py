@@ -34,6 +34,8 @@ def main(argv=None):
     parser.add_argument("--max_steps", type=int, default=-1)
     parser.add_argument("--carhynet_weights", type=str, default=None)
     parser.add_argument("--restore_path", type=str, default=None)
+    parser.add_argument("--fast", action="store_true",
+                        help="fast TPU frontend (linear 32x32 sampling)")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config_path if os.path.exists(args.config_path)
@@ -45,7 +47,7 @@ def main(argv=None):
 
     train(cfg, save_dir=save_dir, limit=args.limit,
           n_devices=args.devices, carhynet_weights=args.carhynet_weights,
-          max_steps=args.max_steps)
+          max_steps=args.max_steps, fast_frontend=args.fast)
 
 
 if __name__ == "__main__":

@@ -103,9 +103,16 @@ def test_model(matcher: Matching, val_dataset, val_count: int, agc=None,
 def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
           save_dir: Optional[str] = None, limit: int = -1,
           n_devices: int = 1, carhynet_weights: Optional[str] = None,
-          max_steps: int = -1, log_fn=print):
+          max_steps: int = -1, fast_frontend: bool = False, log_fn=print):
     """Main loop. Returns the final TrainState."""
     tcfg = cfg.train
+    if fast_frontend:
+        cfg = dataclasses.replace(
+            cfg,
+            frontend=dataclasses.replace(
+                cfg.frontend, interpolation="linear", warp_size=32
+            ),
+        )
     save_dir = Path(save_dir or os.path.join(tcfg.output_dir, tcfg.experiment_name))
     weight_dir = save_dir / "weights"
     weight_dir.mkdir(parents=True, exist_ok=True)
