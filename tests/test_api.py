@@ -131,3 +131,37 @@ def test_gmatcher_converter_tree(rng):
 
     assert shapes(ref["params"]) == shapes(converted["params"])
     assert shapes(ref["batch_stats"]) == shapes(converted["batch_stats"])
+
+
+def test_weights_path_torch_checkpoint(tmp_path, rng):
+    """Matching({'weights_path': ...}) must load a reference-layout torch
+    checkpoint end to end (EMA preferred, like gmatcher.py:208-217)."""
+    import torch
+
+    layers = 4
+    sd = _torch_like_gmatcher_sd(rng, layers=layers)
+    tsd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    ckpt = {"epoch": 1, "iter": 5, "ema": tsd, "model": None,
+            "optimizer": {}}
+    path = tmp_path / "gims_ckpt.pt"
+    torch.save(ckpt, path)
+
+    from gims_tpu.matcher.convert import load_gims_checkpoint
+
+    variables = load_gims_checkpoint(str(path), num_gnn_layers=layers)
+    assert "params" in variables and "batch_stats" in variables
+    assert float(np.asarray(variables["params"]["bin_score"])) == 1.0
+
+    # and it actually runs through the matcher
+    from gims_tpu.api import Matching
+    from gims_tpu.config import GIMSConfig, MatcherConfig, AGCConfig
+
+    cfg = GIMSConfig(
+        matcher=MatcherConfig(num_gnn_layers=layers, sinkhorn_iterations=5,
+                              match_threshold=0.02),
+        agc=AGCConfig(radius=30.0, percentile=5.0, min_size=3),
+    )
+    m = Matching(cfg, variables=variables)
+    img = synthetic_image(seed=9)
+    pred = m({"image0": img[None], "image1": img[None]})
+    assert pred["matches0"].shape[1] == pred["keypoints0"].shape[1]
