@@ -165,3 +165,18 @@ def test_weights_path_torch_checkpoint(tmp_path, rng):
     img = synthetic_image(seed=9)
     pred = m({"image0": img[None], "image1": img[None]})
     assert pred["matches0"].shape[1] == pred["keypoints0"].shape[1]
+
+
+def test_delaunay_path(matcher):
+    """D-GIMS variant: Delaunay adjacency, all nodes kept (the reference's
+    Delaunay inference crashes with a NameError; fixed here)."""
+    img0 = synthetic_image(seed=4)
+    H = np.array([[1.0, 0.0, 3.0], [0.0, 1.0, -2.0], [0, 0, 1.0]], np.float32)
+    img1 = cv2.warpPerspective(img0, H, (160, 120))
+    pred = matcher({
+        "image0": img0[None], "image1": img1[None], "delaunay": True,
+    })
+    n0 = pred["keypoints0"].shape[1]
+    assert n0 > 10
+    # Delaunay keeps every keypoint (no pruning)
+    assert pred["matches0"].shape == (1, n0)
