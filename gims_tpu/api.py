@@ -92,7 +92,9 @@ class Matching:
 
         if variables is None:
             variables = init_gmatcher_variables(self.cfg.matcher, seed)
-        self.variables = variables
+        # pin weights on device once — numpy-backed trees (e.g. loaded
+        # checkpoints) would otherwise re-upload ~50 MB per call
+        self.variables = jax.device_put(variables)
         fe_cfg = self.cfg.frontend
         if isinstance(config, dict) and config.get("fast_frontend"):
             import dataclasses
