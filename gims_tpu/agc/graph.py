@@ -257,27 +257,23 @@ def _reconnect_components(adj, kpts, d2, labels, kept):
     link_ok = comp_ok & (nnc <= C) & ~((nnc < comp_ids) & (nnc_safe[nnc_safe] == comp_ids))
     link_ok = link_ok & (num_comps > 1)
 
-    # md[c, v] = min_{u in comp c} d2[u, v]; amd = the first such u
+    # md[c, v] = min_{u in comp c} d2[u, v] — the one unavoidable (N, N)
+    # segment reduction. The link endpoints only need the nnc[l]-restricted
+    # argmins, so everything below works on (C+1, N) / (N, C+1) tables
+    # instead of the former full (N, N) hit-tensor passes (~4 GB less HBM
+    # traffic per image at N = 12288).
     d2_rows_masked = jnp.where(kept[:, None], d2, BIG)
     md = jax.ops.segment_min(d2_rows_masked, lab, num_segments=C + 1)  # (C+1, N)
-    md_rows = md[lab]                                                  # (N, N)
-    hit_u = kept[:, None] & (d2 == md_rows)
-    amd = jax.ops.segment_min(
-        jnp.where(hit_u, idx[:, None], jnp.int32(n)), lab, num_segments=C + 1
-    )  # (C+1, N)
 
-    # m3[c1, c2] = min_{v in comp c2} md[c1, v]; vstar = the first such v
-    md_cols_masked = jnp.where(kept[None, :], md, BIG)
-    m3 = jax.ops.segment_min(md_cols_masked.T, lab, num_segments=C + 1).T  # (C+1, C+1)
-    m3_cols = m3[:, lab]                                                   # (C+1, N)
-    hit_v = kept[None, :] & (md == m3_cols)
-    vstar = jax.ops.segment_min(
-        jnp.where(hit_v, idx[None, :], jnp.int32(n)).T, lab, num_segments=C + 1
-    ).T  # (C+1, C+1)
-
-    v_l = vstar[comp_ids, nnc_safe]                        # (C+1,)
+    # v*(l) = first argmin over kept v with lab(v) == nnc[l] of md[l, v]
+    tgt_mask = (lab[None, :] == nnc_safe[:, None]) & kept[None, :]  # (C+1, N)
+    _, v_l = _first_min_index(md, tgt_mask, axis=1)                 # sentinel n
     v_l_safe = jnp.minimum(v_l, n - 1)
-    u_l = amd[comp_ids, v_l_safe]                          # (C+1,)
+
+    # u*(l) = first argmin over kept u with lab(u) == l of d2[u, v*(l)]
+    dcols = d2[:, v_l_safe]                                         # (N, C+1)
+    src_mask = (lab[:, None] == comp_ids[None, :]) & kept[:, None]  # (N, C+1)
+    _, u_l = _first_min_index(dcols, src_mask, axis=0)              # sentinel n
     u_l_safe = jnp.minimum(u_l, n - 1)
     ok = link_ok & (v_l < n) & (u_l < n)
 
