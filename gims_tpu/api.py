@@ -195,17 +195,25 @@ class Matching:
         Host SIFT runs here; the device work is dispatched asynchronously,
         so a worker thread can overlap this with the previous pair's
         matcher. Returns the dict to pass as data["features"]."""
+        from concurrent.futures import ThreadPoolExecutor
+
         img0, img1 = pair
-        feats = {}
-        for side, img in (("0", img0), ("1", img1)):
+
+        def one(img):
             f = self.frontend.extract_padded(
                 _as_hw3(img), max_keypoints=self.max_keypoints
             )
             nb = f["kpts"].shape[0]
             kp_p = np.full((nb, 2), 1e6, np.float32)
             kp_p[: f["n"]] = f["kp"].pt[: f["n"]]
-            feats[side] = {**f, "kpts_host": kp_p}
-        return feats
+            return {**f, "kpts_host": kp_p}
+
+        # cv2 SIFT releases the GIL: detecting both sides concurrently
+        # hides one detect (~0.2 s) behind the other; device dispatches
+        # from two threads are queue-ordered and safe
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f0, f1 = pool.map(one, (img0, img1))
+        return {"0": f0, "1": f1}
 
     def _compact(self, out, f0, f1, return_desc):
         kept0 = out["kept0"][0]

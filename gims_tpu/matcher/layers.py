@@ -231,7 +231,10 @@ class SAGEConv(nn.Module):
         # h: (B, N, C); adj: (B, N, N) bool; mask: (B, N)
         a = adj.astype(h.dtype)
         deg = jnp.sum(a, axis=-1, keepdims=True)
-        neigh = jnp.matmul(a, h, precision=jax.lax.Precision.HIGHEST)
+        # HIGH (3-pass bf16) is plenty for a 0/1-adjacency mean aggregation
+        # feeding a bf16 attention trunk; HIGHEST (6-pass) doubled the MXU
+        # time of the biggest SAGE matmul for no visible accuracy gain
+        neigh = jnp.matmul(a, h, precision=jax.lax.Precision.HIGH)
         neigh = neigh / jnp.maximum(deg, 1.0)
         out = (
             nn.Dense(self.out_feats, use_bias=False, name="fc_self")(h)

@@ -180,3 +180,23 @@ def test_delaunay_path(matcher):
     assert n0 > 10
     # Delaunay keeps every keypoint (no pruning)
     assert pred["matches0"].shape == (1, n0)
+
+
+def test_prepare_features_pipelining(matcher):
+    """prepare_features (threaded per-side frontend) must produce the same
+    predictions as the direct image path."""
+    img0 = synthetic_image(seed=4)
+    H = np.array([[1.0, 0.01, 2.0], [-0.02, 1.0, 1.0], [0, 0, 1.0]],
+                 np.float32)
+    img1 = cv2.warpPerspective(img0, H, (160, 120))
+    agc = {"radius": 30, "percentile": 5, "min_size": 3}
+    direct = matcher({"image0": img0[None], "image1": img1[None], **agc})
+    feats = matcher.prepare_features((img0, img1), agc)
+    piped = matcher({"image0": img0[None], "image1": img1[None],
+                     "features": feats, **agc})
+    np.testing.assert_array_equal(direct["matches0"], piped["matches0"])
+    np.testing.assert_array_equal(direct["keypoints0"], piped["keypoints0"])
+    np.testing.assert_allclose(
+        direct["matching_scores0"], piped["matching_scores0"],
+        rtol=1e-6, atol=1e-6,
+    )
