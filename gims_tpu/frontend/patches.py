@@ -222,6 +222,136 @@ def warp_patches_chunk_quads(quad_rows, h, w, level_idx, ainv,
 _quad_rows_jit = jax.jit(quad_rows_from_levels)
 
 
+# ---------------------------------------------------------------------------
+# Block-gather fast path (linear interpolation, direct 32x32 sampling).
+#
+# One gathered row holds a BLOCK x BLOCK source window; a single row then
+# covers the bilinear tap blocks of an entire 2x2 GROUP of output pixels —
+# 4x fewer gather rows again on top of the quad layout (256 rows per
+# keypoint instead of 1024). Blocks are stride-4 aligned over the
+# zero-padded image; a group is block-eligible iff its source span fits
+# (span <= 10 px per axis, see _block_spans) — guaranteed for SIFT
+# keypoints (step = size*scale*0.5 <= ~3.6 => span <= 2*step*sqrt(2) <=
+# 10.2 only at exactly 45 degrees with the maximum step; the host routes
+# those rare keypoints through the quad path).
+# ---------------------------------------------------------------------------
+
+BLOCK = 16
+BLOCK_STRIDE = 4
+BLOCK_CHUNK = 256
+BLOCK_SPAN_LIMIT = 10.0
+
+
+def block_spans(ainv: np.ndarray, ratio: float = 2.0) -> np.ndarray:
+    """(N, 2) worst-case source span (sx, sy) of a 2x2 output-pixel group.
+
+    Adjacent output pixels are `ratio` apart in warp-64 grid coords, so the
+    span per source axis is ratio * (|a_0| + |a_1|) of that axis' row."""
+    a = np.abs(ainv[:, :, :2]).sum(axis=2) * ratio
+    return a  # (N, 2): row 0 = sx span, row 1 = sy span
+
+
+def block_rows_from_levels(levels):
+    """(L, h, w, C) -> ((L*nby*nbx, C*BLOCK*BLOCK) rows, nby, nbx).
+
+    Row (l, by, bx) is the zero-padded window covering ORIGINAL rows
+    [4by-1, 4by+14] x cols [4bx-1, 4bx+14] (1-px zero ring + zero tail
+    padding reproduce cv2's constant-zero border for every tap that lands
+    inside the window). Feature order is (C, 16, 16), the layout
+    lax.conv_general_dilated_patches produces.
+    """
+    lnum, h, w, c = levels.shape
+    hp = ((h + 2 + 3) // 4) * 4 + BLOCK
+    wp = ((w + 2 + 3) // 4) * 4 + BLOCK
+    p = jnp.pad(levels, ((0, 0), (1, hp - h - 1), (1, wp - w - 1), (0, 0)))
+    rows = jax.lax.conv_general_dilated_patches(
+        p, filter_shape=(BLOCK, BLOCK),
+        window_strides=(BLOCK_STRIDE, BLOCK_STRIDE),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    nby, nbx = rows.shape[1], rows.shape[2]
+    return rows.reshape(lnum * nby * nbx, c * BLOCK * BLOCK)
+
+
+def block_grid(h: int, w: int):
+    """Host-side (nby, nbx) for block_rows_from_levels of an (h, w) level."""
+    hp = ((h + 2 + 3) // 4) * 4 + BLOCK
+    wp = ((w + 2 + 3) // 4) * 4 + BLOCK
+    s = BLOCK_STRIDE
+    return (hp - BLOCK) // s + 1, (wp - BLOCK) // s + 1
+
+
+def _warp_chunk_block(block_rows, nby, nbx, h, w, channels, level_idx, ainv,
+                      warp_size):
+    """Block-path chunk: (k,) level_idx + (k, 2, 3) ainv ->
+    (k, warp_size^2 * C) flat patches. Linear taps only."""
+    k = level_idx.shape[0]
+    g1 = warp_size // 2
+    ngroups = g1 * g1
+    xs = jnp.arange(warp_size, dtype=jnp.float32)
+    ratio = WARP_SIZE / warp_size
+    if warp_size != WARP_SIZE:
+        xs = xs * ratio + (ratio - 1.0) / 2.0
+    gx = jnp.tile(xs, warp_size)
+    gy = jnp.repeat(xs, warp_size)
+    sx = (ainv[:, 0, 0, None] * gx[None, :]
+          + ainv[:, 0, 1, None] * gy[None, :] + ainv[:, 0, 2, None])
+    sy = (ainv[:, 1, 0, None] * gx[None, :]
+          + ainv[:, 1, 1, None] * gy[None, :] + ainv[:, 1, 2, None])
+
+    def to_groups(a):
+        a = a.reshape(k, g1, 2, g1, 2)
+        return a.transpose(0, 1, 3, 2, 4).reshape(k, ngroups, 4)
+
+    sxg, syg = to_groups(sx), to_groups(sy)
+    fx = jnp.floor(sxg)
+    fy = jnp.floor(syg)
+    tx = sxg - fx
+    ty = syg - fy
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+
+    miny = jnp.min(jnp.clip(iy, -1, h - 1), axis=-1)   # (k, g)
+    minx = jnp.min(jnp.clip(ix, -1, w - 1), axis=-1)
+    by = (miny + 1) // BLOCK_STRIDE
+    bx = (minx + 1) // BLOCK_STRIDE
+    idx = level_idx[:, None] * (nby * nbx) + by * nbx + bx
+    vals = jnp.take(block_rows, idx, axis=0)           # (k, g, C*256)
+    blocks = vals.reshape(k, ngroups, channels, BLOCK, BLOCK)
+
+    ly = iy + 1 - (by * BLOCK_STRIDE)[..., None]       # (k, g, 4)
+    lx = ix + 1 - (bx * BLOCK_STRIDE)[..., None]
+    span = jnp.arange(BLOCK, dtype=jnp.int32)
+
+    def onehot_weights(l, t):
+        # W[..., y] = (1-t)*[y==l] + t*[y==l+1]; taps outside the window
+        # get zero weight (the window's zero padding covers the border)
+        l_ = l[..., None]
+        e0 = (span == l_).astype(jnp.float32)
+        e1 = (span == l_ + 1).astype(jnp.float32)
+        return e0 * (1.0 - t)[..., None] + e1 * t[..., None]
+
+    Wy = onehot_weights(ly, ty)                        # (k, g, 4, 16)
+    Wx = onehot_weights(lx, tx)
+    tmp = jnp.einsum("kgcyx,kgpy->kgpcx", blocks, Wy)
+    outp = jnp.einsum("kgpcx,kgpx->kgpc", tmp, Wx)     # (k, g, 4, C)
+
+    out = outp.reshape(k, g1, g1, 2, 2, channels)
+    out = out.transpose(0, 1, 3, 2, 4, 5)              # (k, gy, py, gx, px, C)
+    return out.reshape(k, warp_size * warp_size * channels)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 7))
+def warp_patches_chunk_blocks(block_rows, nby, nbx, h, w, level_idx, ainv,
+                              warp_size=OUT_SIZE):
+    c = block_rows.shape[1] // (BLOCK * BLOCK)
+    return _warp_chunk_block(block_rows, nby, nbx, h, w, c, level_idx, ainv,
+                             warp_size)
+
+
+_block_rows_jit = jax.jit(block_rows_from_levels)
+
+
 def warp_patches_level(levels, level_idx, ainv, interpolation="cubic"):
     """levels: (L, H, W, C) f32; level_idx: (K,) i32; ainv: (K, 2, 3).
 
@@ -275,29 +405,52 @@ def extract_patches_device(
         return out
     ainv = inverse_affines(kp)
     oct_index = kp.octave + 1  # firstOctave = -1
+    use_blocks = interpolation == "linear" and warp_size == OUT_SIZE
+    if use_blocks:
+        spans = block_spans(ainv, ratio=WARP_SIZE / warp_size)
+        block_ok = (spans <= BLOCK_SPAN_LIMIT).all(axis=1)
     for o in range(len(pyramid)):
-        sel = np.nonzero(oct_index == o)[0]
-        sel = sel[sel < out_bucket]
-        if sel.size == 0:
+        osel = np.nonzero(oct_index == o)[0]
+        osel = osel[osel < out_bucket]
+        if osel.size == 0:
             continue
         lvh, lvw = int(pyramid[o].shape[1]), int(pyramid[o].shape[2])
-        quads = _quad_rows_jit(pyramid[o])
-        chunk = _chunk_for(warp_size)
-        nchunks = -(-sel.size // chunk)
-        kb = nchunks * chunk
-        lv = np.zeros((kb,), np.int32)
-        av = np.zeros((kb, 2, 3), np.float32)
-        selp = np.full((kb,), out_bucket, np.int32)  # OOB rows dropped
-        lv[: sel.size] = kp.layer[sel]
-        av[: sel.size] = ainv[sel]
-        selp[: sel.size] = sel
-        for i in range(nchunks):
-            s = slice(i * chunk, (i + 1) * chunk)
-            patches = warp_patches_chunk_quads(
-                quads, lvh, lvw, jnp.asarray(lv[s]), jnp.asarray(av[s]),
-                interpolation, warp_size,
-            )
-            out = _scatter_patches(out, jnp.asarray(selp[s]), patches)
+        groups = [(osel, False)]
+        if use_blocks:
+            groups = [(osel[block_ok[osel]], True),
+                      (osel[~block_ok[osel]], False)]
+        quads = None
+        brows = None
+        for sel, via_blocks in groups:
+            if sel.size == 0:
+                continue
+            chunk = BLOCK_CHUNK if via_blocks else _chunk_for(warp_size)
+            nchunks = -(-sel.size // chunk)
+            kb = nchunks * chunk
+            lv = np.zeros((kb,), np.int32)
+            av = np.zeros((kb, 2, 3), np.float32)
+            selp = np.full((kb,), out_bucket, np.int32)  # OOB rows dropped
+            lv[: sel.size] = kp.layer[sel]
+            av[: sel.size] = ainv[sel]
+            selp[: sel.size] = sel
+            if via_blocks and brows is None:
+                brows = _block_rows_jit(pyramid[o])
+                nby, nbx = block_grid(lvh, lvw)
+            if not via_blocks and quads is None:
+                quads = _quad_rows_jit(pyramid[o])
+            for i in range(nchunks):
+                s = slice(i * chunk, (i + 1) * chunk)
+                if via_blocks:
+                    patches = warp_patches_chunk_blocks(
+                        brows, int(nby), int(nbx), lvh, lvw,
+                        jnp.asarray(lv[s]), jnp.asarray(av[s]), warp_size,
+                    )
+                else:
+                    patches = warp_patches_chunk_quads(
+                        quads, lvh, lvw, jnp.asarray(lv[s]),
+                        jnp.asarray(av[s]), interpolation, warp_size,
+                    )
+                out = _scatter_patches(out, jnp.asarray(selp[s]), patches)
     return out / 255.0
 
 

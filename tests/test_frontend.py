@@ -179,3 +179,59 @@ def test_fast_mode_quality():
     denom = np.linalg.norm(a_c, axis=1) * np.linalg.norm(b_c, axis=1) + 1e-9
     corr = (a_c * b_c).sum(1) / denom
     assert np.median(corr) > 0.9, float(np.median(corr))
+
+
+def test_block_path_matches_quad_path():
+    """The block-gather fast path must equal the quad-row path exactly
+    (same math, different fetch), including border keypoints."""
+    from gims_tpu.frontend import patches as P
+
+    rng = np.random.RandomState(11)
+    L, h, w, c = 3, 90, 110, 3
+    levels = jnp.asarray(rng.rand(L, h, w, c).astype(np.float32) * 255)
+    k = 256
+    li = jnp.asarray(rng.randint(0, L, k).astype(np.int32))
+    ainv = np.zeros((k, 2, 3), np.float32)
+    ang = rng.uniform(0, 2 * np.pi, k)
+    sc = rng.uniform(0.3, 3.5, k)  # SIFT step range
+    ainv[:, 0, 0] = np.cos(ang) * sc
+    ainv[:, 0, 1] = np.sin(ang) * sc
+    ainv[:, 1, 0] = -np.sin(ang) * sc
+    ainv[:, 1, 1] = np.cos(ang) * sc
+    ainv[:, 0, 2] = rng.uniform(-20, w + 20, k)
+    ainv[:, 1, 2] = rng.uniform(-20, h + 20, k)
+    spans = P.block_spans(ainv)
+    ok = (spans <= P.BLOCK_SPAN_LIMIT).all(axis=1)
+    assert ok.sum() > 100  # most are block-eligible
+
+    quads = P.quad_rows_from_levels(levels)
+    want = np.asarray(P._warp_chunk(
+        quads, h, w, c, li, jnp.asarray(ainv), "linear", 32))
+    brows = P.block_rows_from_levels(levels)
+    nby, nbx = P.block_grid(h, w)
+    got = np.asarray(P._warp_chunk_block(
+        brows, nby, nbx, h, w, c, li, jnp.asarray(ainv), 32))
+    diff = np.abs(got[ok] - want[ok])
+    assert diff.max() < 1e-3, float(diff.max())
+
+
+def test_extract_device_block_split():
+    """extract_patches_device must route block-ineligible keypoints (huge
+    step) through the quad path and still match the pure-quad result."""
+    from gims_tpu.frontend import patches as P
+
+    img = synthetic_image(120, 160, seed=13)
+    kp = fsift.detect(img, FrontendConfig())
+    # inflate some sizes so their span exceeds the block limit
+    kp.size[::7] *= 4.0
+    pyr = pyramid_from_uint8(jnp.asarray(img), 120, 160)
+    nb = 256
+    fast = np.asarray(P.extract_patches_device(pyr, kp, nb, "linear", 32))
+    # pure quad-path reference: temporarily disable the block path
+    spans = P.block_spans(P.inverse_affines(kp))
+    assert (spans > P.BLOCK_SPAN_LIMIT).any(axis=1).sum() > 0
+    import unittest.mock as mock
+    with mock.patch.object(P, "BLOCK_SPAN_LIMIT", -1.0):
+        quad_only = np.asarray(
+            P.extract_patches_device(pyr, kp, nb, "linear", 32))
+    np.testing.assert_allclose(fast, quad_only, atol=1e-5)
