@@ -230,16 +230,27 @@ _quad_rows_jit = jax.jit(quad_rows_from_levels)
 # 4x fewer gather rows again on top of the quad layout (256 rows per
 # keypoint instead of 1024). Blocks are stride-4 aligned over the
 # zero-padded image; a group is block-eligible iff its source span fits
-# (span <= 10 px per axis, see _block_spans) — guaranteed for SIFT
+# (span <= 10 px per axis, see block_spans) — guaranteed for SIFT
 # keypoints (step = size*scale*0.5 <= ~3.6 => span <= 2*step*sqrt(2) <=
 # 10.2 only at exactly 45 degrees with the maximum step; the host routes
 # those rare keypoints through the quad path).
+#
+# DISABLED BY DEFAULT: measured on the v5e, the gather unit is
+# row-count-bound only up to ~192-element rows (~50M rows/s at width
+# 12/128, ~46M at 192) and becomes width-bound beyond (~11M rows/s at
+# width 768 = 16x16x3 blocks, ~34 GB/s effective). 4x fewer rows at ~4.5x
+# lower row rate is a wash, so the quad layout (width 12, 1 row per
+# output pixel) is the optimal gather shape for this warp; going below
+# 1 row/pixel needs a Pallas windowed-DMA kernel or a dense conv
+# frontend, not a wider gather. The path stays for parity-tested
+# experimentation (flip BLOCK_PATH_ENABLED).
 # ---------------------------------------------------------------------------
 
 BLOCK = 16
 BLOCK_STRIDE = 4
 BLOCK_CHUNK = 256
 BLOCK_SPAN_LIMIT = 10.0
+BLOCK_PATH_ENABLED = False
 
 
 def block_spans(ainv: np.ndarray, ratio: float = 2.0) -> np.ndarray:
@@ -405,7 +416,8 @@ def extract_patches_device(
         return out
     ainv = inverse_affines(kp)
     oct_index = kp.octave + 1  # firstOctave = -1
-    use_blocks = interpolation == "linear" and warp_size == OUT_SIZE
+    use_blocks = (BLOCK_PATH_ENABLED and interpolation == "linear"
+                  and warp_size == OUT_SIZE)
     if use_blocks:
         spans = block_spans(ainv, ratio=WARP_SIZE / warp_size)
         block_ok = (spans <= BLOCK_SPAN_LIMIT).all(axis=1)

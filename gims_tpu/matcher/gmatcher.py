@@ -76,6 +76,18 @@ class GMatcher(nn.Module):
             cfg.use_layernorm, dtype=attn_dtype, name="gnn",
         )
 
+        # Zero out pruned/padded tokens before anything runs: pad slots
+        # carry sentinel keypoints (1e6) whose kenc/MLP activations grow
+        # without bound across the 18 residual layers and leak NaN into
+        # valid rows through 0 * inf in the attention p @ v product (bf16
+        # trunks die first, but f32 is only a few layers behind). Masked
+        # tokens are excluded from attention keys / SAGE edges / stats /
+        # extraction everywhere, so zeroing them is semantics-free.
+        kpts0n = jnp.where(kept0[..., None], kpts0n, 0.0)
+        kpts1n = jnp.where(kept1[..., None], kpts1n, 0.0)
+        desc0 = jnp.where(kept0[..., None], desc0, 0.0)
+        desc1 = jnp.where(kept1[..., None], desc1, 0.0)
+
         if cfg.input_dim != cfg.descriptor_dim:
             proj = nn.Dense(cfg.descriptor_dim, name="input_proj")
             desc0 = proj(desc0)

@@ -226,12 +226,12 @@ def test_extract_device_block_split():
     kp.size[::7] *= 4.0
     pyr = pyramid_from_uint8(jnp.asarray(img), 120, 160)
     nb = 256
-    fast = np.asarray(P.extract_patches_device(pyr, kp, nb, "linear", 32))
-    # pure quad-path reference: temporarily disable the block path
+    import unittest.mock as mock
+    with mock.patch.object(P, "BLOCK_PATH_ENABLED", True):
+        fast = np.asarray(
+            P.extract_patches_device(pyr, kp, nb, "linear", 32))
     spans = P.block_spans(P.inverse_affines(kp))
     assert (spans > P.BLOCK_SPAN_LIMIT).any(axis=1).sum() > 0
-    import unittest.mock as mock
-    with mock.patch.object(P, "BLOCK_SPAN_LIMIT", -1.0):
-        quad_only = np.asarray(
-            P.extract_patches_device(pyr, kp, nb, "linear", 32))
+    quad_only = np.asarray(
+        P.extract_patches_device(pyr, kp, nb, "linear", 32))
     np.testing.assert_allclose(fast, quad_only, atol=1e-5)
