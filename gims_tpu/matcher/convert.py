@@ -126,8 +126,18 @@ def convert_gmatcher_torch(state_dict, num_gnn_layers=18,
 
 
 def load_gims_checkpoint(path: str, **kwargs):
-    """Load a reference training checkpoint (.pt), preferring the EMA
-    weights like the reference loader (models/gmatcher.py:208-217)."""
+    """Load GMatcher weights from either format:
+
+    - ``.npz``: this framework's native flat-pytree export
+      (core.checkpoint.save_npz), returned as-is;
+    - anything else: a reference torch training checkpoint (.pt),
+      preferring the EMA weights like the reference loader
+      (models/gmatcher.py:208-217).
+    """
+    if str(path).endswith(".npz"):
+        from gims_tpu.core.checkpoint import unflatten_npz
+
+        return unflatten_npz(path)
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

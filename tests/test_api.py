@@ -200,3 +200,17 @@ def test_prepare_features_pipelining(matcher):
         direct["matching_scores0"], piped["matching_scores0"],
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_weights_path_npz(tmp_path):
+    """weights_path also accepts this framework's native .npz export."""
+    from gims_tpu.core.checkpoint import save_npz
+    from gims_tpu.config import MatcherConfig
+
+    variables = init_gmatcher_variables(MatcherConfig(), seed=3)
+    p = str(tmp_path / "w.npz")
+    save_npz(p, variables)
+    m = Matching({"weights_path": p, "sinkhorn_iterations": 5})
+    leaf = m.variables["params"]["final_proj"]["kernel"]
+    want = variables["params"]["final_proj"]["kernel"]
+    np.testing.assert_allclose(np.asarray(leaf), np.asarray(want))
