@@ -47,7 +47,8 @@ def main(argv=None):
 
     train(cfg, save_dir=save_dir, limit=args.limit,
           n_devices=args.devices, carhynet_weights=args.carhynet_weights,
-          max_steps=args.max_steps, fast_frontend=args.fast)
+          max_steps=args.max_steps, fast_frontend=args.fast,
+          restore_path=args.restore_path)
 
 
 if __name__ == "__main__":

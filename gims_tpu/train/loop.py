@@ -103,7 +103,8 @@ def test_model(matcher: Matching, val_dataset, val_count: int, agc=None,
 def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
           save_dir: Optional[str] = None, limit: int = -1,
           n_devices: int = 1, carhynet_weights: Optional[str] = None,
-          max_steps: int = -1, fast_frontend: bool = False, log_fn=print):
+          max_steps: int = -1, fast_frontend: bool = False,
+          restore_path: Optional[str] = None, log_fn=print):
     """Main loop. Returns the final TrainState."""
     tcfg = cfg.train
     if fast_frontend:
@@ -146,7 +147,18 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
 
     bsz = tcfg.batch_size * n_devices
     num_batches = max(len(train_dataset) // bsz, 1)
-    state, tx = step_mod.create_train_state(cfg, variables, num_batches)
+    start_epoch = tcfg.start_epoch
+    if restore_path:
+        state, tx, r_epoch, r_it = restore_train_state(
+            cfg, restore_path, num_batches
+        )
+        # iter == -1 marks an end-of-epoch checkpoint (last/best);
+        # anything else resumes the same epoch from its start.
+        start_epoch = r_epoch + 1 if r_it < 0 else r_epoch
+        log_fn(f"[train] resumed {restore_path}: epoch {r_epoch} "
+               f"iter {r_it} (opt step {int(state.step)})")
+    else:
+        state, tx = step_mod.create_train_state(cfg, variables, num_batches)
 
     image_shape = (cfg.dataset.image_height, cfg.dataset.image_width)
     if n_devices > 1:
@@ -164,12 +176,12 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     best_val_score = 1e-10
     best_min_loss = 1e9
     order = np.arange(len(train_dataset))
-    global_step = 0
+    global_step = int(state.step)
     log_fn(f"Started training for {tcfg.num_epochs} epochs, "
            f"{num_batches} batches/epoch, {n_devices} device(s)")
     header = ("%10s" * 8) % ("Epoch", "Iter", "PosLoss", "NegLoss",
                              "TotLoss", "Dtime", "Ptime", "Mtime")
-    for epoch in range(tcfg.start_epoch, tcfg.num_epochs):
+    for epoch in range(start_epoch, tcfg.num_epochs):
         log_fn(header)
         rng.shuffle(order)
         mloss = np.zeros(3)

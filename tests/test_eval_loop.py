@@ -102,3 +102,45 @@ def test_train_loop_smoke(tmp_path, tiny_cfg):
         __import__("jax").tree_util.tree_leaves(state2.params)[0]
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_train_kill_and_resume(tmp_path, tiny_cfg):
+    """Train one epoch, 'kill', resume via restore_path: the second run
+    must pick up the optimizer step and epoch counters and keep training
+    (fixes the reference's dead restore_path, train.py:40)."""
+    import jax
+
+    from gims_tpu.train.loop import train
+    from gims_tpu.train.data import SyntheticPairDataset
+
+    ds = SyntheticPairDataset(tiny_cfg.dataset, length=2, seed=0)
+    val = SyntheticPairDataset(tiny_cfg.dataset, length=2, seed=1)
+    state_a = train(
+        tiny_cfg, train_dataset=ds, val_dataset=val,
+        save_dir=str(tmp_path / "runA"), log_fn=lambda *a: None,
+    )
+    assert int(state_a.step) == 2  # epoch 0 complete (2 batches)
+
+    cfg2 = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(tiny_cfg.train, num_epochs=2)
+    )
+    logs = []
+    state_b = train(
+        cfg2, train_dataset=ds, val_dataset=val,
+        save_dir=str(tmp_path / "runB"),
+        restore_path=str(tmp_path / "runA" / "weights" / "last"),
+        log_fn=lambda *a: logs.append(" ".join(map(str, a))),
+    )
+    assert any("resumed" in l for l in logs)
+    # "last" was an end-of-epoch-0 ckpt (iter=-1) -> resume at epoch 1,
+    # exactly one more epoch of 2 steps
+    assert int(state_b.step) == 4
+    assert any(l.strip().startswith("1 ") or "%10s" % "1" in l
+               for l in logs if "resumed" not in l)
+    # params kept training from the restored point
+    pa = jax.tree_util.tree_leaves(state_a.params)
+    pb = jax.tree_util.tree_leaves(state_b.params)
+    assert max(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max())
+        for x, y in zip(pa, pb)
+    ) > 0
