@@ -67,28 +67,39 @@ def cosine_similarity_matrix(descs: jnp.ndarray) -> jnp.ndarray:
 
 
 def kth_smallest_masked(values: jnp.ndarray, mask: jnp.ndarray, k: jnp.ndarray,
-                        lo: float, hi: float, iters: int = 34) -> jnp.ndarray:
-    """Exact k-th (0-indexed) order statistic of values[mask] by bisection.
+                        lo: float, hi: float, passes: int = 6,
+                        fanout: int = 64) -> jnp.ndarray:
+    """Exact k-th (0-indexed) order statistic of values[mask] by multisection.
 
     Replaces np.partition(similarities, k)[k] (reference: agc.py:367-380)
-    without sorting the O(N^2) similarity set. After bisection the result is
-    snapped to the smallest actual element > lo_final, so the returned
-    threshold is an exact member of the set (ties then behave identically
-    under the reference's >= comparison).
+    without sorting the O(N^2) similarity set. Each pass counts fanout-1
+    interior thresholds in ONE fused read of `values` (the comparisons are
+    VPU-cheap; HBM traffic is what matters), narrowing the bracket by
+    `fanout` per pass — 6 passes x 64-way = 2^36 narrowing, tighter than
+    the 34 halvings this replaces at ~6x less HBM traffic. After the
+    bracket is below f32 spacing, the result is snapped to the smallest
+    actual element > lo_final, so the returned threshold is an exact member
+    of the set (ties then behave identically under the reference's >=
+    comparison).
     """
     values = values.astype(jnp.float32)
+    frac = (jnp.arange(1, fanout, dtype=jnp.float32) / fanout)
+    reduce_axes = tuple(range(values.ndim))
 
     def body(_, state):
         lo_, hi_ = state
-        mid = 0.5 * (lo_ + hi_)
-        cnt = jnp.sum(((values <= mid) & mask).astype(jnp.int32))
-        below = cnt < (k + 1)
-        lo_ = jnp.where(below, mid, lo_)
-        hi_ = jnp.where(below, hi_, mid)
+        ts = lo_ + (hi_ - lo_) * frac  # (fanout-1,) interior thresholds
+        cnt = jnp.sum(
+            ((values[..., None] <= ts) & mask[..., None]).astype(jnp.int32),
+            axis=reduce_axes,
+        )
+        below = cnt < (k + 1)  # invariant: count(<=lo) < k+1 <= count(<=hi)
+        lo_ = jnp.max(jnp.where(below, ts, lo_))
+        hi_ = jnp.min(jnp.where(below, hi_, ts))
         return (lo_, hi_)
 
     lo_f, hi_f = jax.lax.fori_loop(
-        0, iters, body, (jnp.float32(lo), jnp.float32(hi))
+        0, passes, body, (jnp.float32(lo), jnp.float32(hi))
     )
     snapped = jnp.min(jnp.where(mask & (values > lo_f), values, BIG))
     return jnp.where(jnp.any(mask), jnp.minimum(snapped, hi_f), jnp.float32(0.0))
@@ -108,7 +119,7 @@ def connected_components(adj: jnp.ndarray, valid: jnp.ndarray,
     idx = jnp.arange(n, dtype=jnp.int32)
     label0 = jnp.where(valid, idx, sentinel)
 
-    def body(_, label):
+    def one_round(label):
         neigh = jnp.where(adj, label[None, :], sentinel)
         neigh_min = jnp.min(neigh, axis=1)
         label = jnp.minimum(label, jnp.where(valid, neigh_min, sentinel))
@@ -118,7 +129,23 @@ def connected_components(adj: jnp.ndarray, valid: jnp.ndarray,
             label = jnp.minimum(label, jumped)
         return label
 
-    return jax.lax.fori_loop(0, rounds, body, label0)
+    # Early exit: real AGC graphs converge in 2-5 rounds (the ~8x diameter
+    # growth per round); `rounds` stays as the worst-case cap. Trip count is
+    # runtime-dynamic but shapes are static — no recompiles. Labels are
+    # int32, so no gradient flows through the loop.
+    def cond(state):
+        i, _, changed = state
+        return changed & (i < rounds)
+
+    def body(state):
+        i, label, _ = state
+        new = one_round(label)
+        return i + 1, new, jnp.any(new != label)
+
+    _, label, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), one_round(label0), jnp.bool_(True))
+    )
+    return label
 
 
 def _first_min_index(values: jnp.ndarray, mask: jnp.ndarray,

@@ -96,15 +96,20 @@ class Matching:
         # checkpoints) would otherwise re-upload ~50 MB per call
         self.variables = jax.device_put(variables)
         fe_cfg = self.cfg.frontend
-        if isinstance(config, dict) and config.get("fast_frontend"):
+        if isinstance(config, dict):
             import dataclasses
 
-            # fast mode: linear taps + direct 32x32 sampling — 12x fewer
-            # gather rows (the TPU gather unit is row-count-bound); small
-            # descriptor-quality tradeoff, see frontend/patches.py
-            fe_cfg = dataclasses.replace(
-                fe_cfg, interpolation="linear", warp_size=32
-            )
+            if config.get("fast_frontend"):
+                # fast mode: linear taps + direct 32x32 sampling — 12x fewer
+                # gather rows (the TPU gather unit is row-count-bound); small
+                # descriptor-quality tradeoff, see frontend/patches.py
+                fe_cfg = dataclasses.replace(
+                    fe_cfg, interpolation="linear", warp_size=32
+                )
+            if config.get("descriptor_source"):
+                fe_cfg = dataclasses.replace(
+                    fe_cfg, descriptor_source=config["descriptor_source"]
+                )
         self.frontend = frontend or FeatureFrontend(fe_cfg)
         self.timings = {}
 

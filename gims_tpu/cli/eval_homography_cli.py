@@ -35,6 +35,10 @@ def main(argv=None, dgims=False):
     parser.add_argument("--fast", action="store_true",
                         help="TPU speed path: bf16 attention, Pallas OT, "
                              "linear 32x32 patch sampling")
+    parser.add_argument("--descriptor_source", type=str, default="carhynet",
+                        choices=["carhynet", "sift"],
+                        help="'sift' = host OpenCV descriptors (the in-env "
+                             "substitute for the missing car_hynet.pth)")
     args = parser.parse_args(argv)
 
     if args.generate and not os.path.exists(args.input_homography):
@@ -53,7 +57,7 @@ def main(argv=None, dgims=False):
     if args.delaunay:
         agc["delaunay"] = True
     matcher = None
-    if args.fast:
+    if args.fast or args.descriptor_source != "carhynet":
         from gims_tpu.api import Matching
 
         matcher = Matching({
@@ -61,9 +65,9 @@ def main(argv=None, dgims=False):
             "sinkhorn_iterations": args.sinkhorn_iterations,
             "match_threshold": args.match_threshold,
             "max_keypoints": args.max_keypoints,
-            "attention_dtype": "bfloat16",
-            "use_pallas_sinkhorn": True,
-            "fast_frontend": True,
+            "descriptor_source": args.descriptor_source,
+            **({"attention_dtype": "bfloat16", "use_pallas_sinkhorn": True,
+                "fast_frontend": True} if args.fast else {}),
         })
     results = run_benchmark(
         args.input_homography, args.input_dir,

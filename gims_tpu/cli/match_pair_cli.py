@@ -21,6 +21,9 @@ def main(argv=None):
     parser.add_argument("--agc_r", type=float, default=15)
     parser.add_argument("--agc_p", type=float, default=2)
     parser.add_argument("--agc_m", type=int, default=7)
+    parser.add_argument("--descriptor_source", type=str, default="carhynet",
+                        choices=["carhynet", "sift"])
+    parser.add_argument("--fast", action="store_true")
     args = parser.parse_args(argv)
 
     from gims_tpu.api import Matching
@@ -33,6 +36,9 @@ def main(argv=None):
         "sinkhorn_iterations": args.sinkhorn_iterations,
         "match_threshold": args.match_threshold,
         "max_keypoints": -1,
+        "descriptor_source": args.descriptor_source,
+        **({"attention_dtype": "bfloat16", "use_pallas_sinkhorn": True,
+            "fast_frontend": True} if args.fast else {}),
     })
     pred = matcher({
         "image0": img0[None], "image1": img1[None],

@@ -36,10 +36,20 @@ def main(argv=None):
     parser.add_argument("--restore_path", type=str, default=None)
     parser.add_argument("--fast", action="store_true",
                         help="fast TPU frontend (linear 32x32 sampling)")
+    parser.add_argument("--descriptor_source", type=str, default="carhynet",
+                        choices=["carhynet", "sift"])
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config_path if os.path.exists(args.config_path)
                       else None)
+    if args.descriptor_source != "carhynet":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, frontend=dataclasses.replace(
+                cfg.frontend, descriptor_source=args.descriptor_source
+            ),
+        )
     save_dir = increment_path(
         Path(cfg.train.output_dir) / args.name, exist_ok=False
     )

@@ -72,6 +72,10 @@ class FrontendConfig:
     patch_size: int = 32       # final CNN input resolution
     warp_size: int = 64        # warped patch before 2x area downsample
     interpolation: str = "cubic"  # 'cubic' matches cv2.INTER_CUBIC; 'linear' is faster
+    # "carhynet" = reference frontend (patch warp + CNN). "sift" = host
+    # OpenCV SIFT descriptors — the in-env substitute for the reference's
+    # pretrained car_hynet.pth (absent here), and a faster host-only path.
+    descriptor_source: str = "carhynet"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,7 +65,10 @@ def gt_reprojection_matches(kpts0, kpts1, H, dist_thresh=3.0, n_iters=3):
 def evaluate_pair(matcher: Matching, image0, image1, homo, min_matches=12,
                   agc=None):
     """Returns (record dict or None-if-skipped, artifacts dict)."""
-    data = {"image0": image0[None], "image1": image1[None], **(agc or {})}
+    # descriptors are unused here; skipping their download saves ~50 MB of
+    # device->host traffic per pair through the tunnel
+    data = {"image0": image0[None], "image1": image1[None],
+            "return_descriptors": False, **(agc or {})}
     pred = matcher(data)
     kpts0 = pred["keypoints0"][0]
     kpts1 = pred["keypoints1"][0]

@@ -12,24 +12,43 @@ import time
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gims_tpu.config import FrontendConfig
 from gims_tpu.carhynet.engine import DescriptorEngine
 from gims_tpu.core.bucketing import DEFAULT_BUCKETS, bucket_size
-from gims_tpu.frontend.sift import detect, KeypointArrays
+from gims_tpu.frontend.sift import detect, detect_and_describe, KeypointArrays
 from gims_tpu.frontend.pyramid import pyramid_from_uint8
 from gims_tpu.frontend.patches import extract_patches, extract_patches_device
 
 
+@jax.jit
+def _normalize_duplicate(raw_u8):
+    """(N, 128) uint8 -> (N, 256) f32 unit-norm duplicated descriptors
+    (reference: utils/common.py:891 torch.cat([d, d], dim=1))."""
+    d = raw_u8.astype(jnp.float32)
+    norm = jnp.linalg.norm(d, axis=1, keepdims=True)
+    d = d / jnp.maximum(norm, 1e-12)
+    return jnp.concatenate([d, d], axis=1)
+
+
 class FeatureFrontend:
-    """Stateful wrapper holding the descriptor engine + compiled programs."""
+    """Stateful wrapper holding the descriptor engine + compiled programs.
+
+    descriptor_source="carhynet" (default) runs the reference frontend
+    (device pyramid -> patch warp -> CAR-HyNet); "sift" uses host OpenCV
+    SIFT descriptors — the in-env substitute when no pretrained
+    car_hynet.pth exists, and a host-only fast path.
+    """
 
     def __init__(self, cfg: Optional[FrontendConfig] = None,
                  engine: Optional[DescriptorEngine] = None,
                  weights_path: Optional[str] = None):
         self.cfg = cfg or FrontendConfig()
-        self.engine = engine or DescriptorEngine(weights_path=weights_path)
+        self.engine = None
+        if self.cfg.descriptor_source != "sift":
+            self.engine = engine or DescriptorEngine(weights_path=weights_path)
         self.timings = {}
 
     def extract(
@@ -45,15 +64,26 @@ class FeatureFrontend:
         descriptors (N, 256) f32, kp (KeypointArrays).
         """
         t0 = time.perf_counter()
-        kp = detect(image_bgr, self.cfg, max_keypoints, train_topup, rng)
-        t1 = time.perf_counter()
-        h, w = image_bgr.shape[:2]
-        pyramid = pyramid_from_uint8(jnp.asarray(image_bgr), h, w)
-        patches = extract_patches(pyramid, kp, self.cfg.interpolation)
-        t2 = time.perf_counter()
-        desc128 = self.engine.compute(patches)
-        desc256 = np.concatenate([desc128, desc128], axis=1)
-        t3 = time.perf_counter()
+        if self.cfg.descriptor_source == "sift":
+            kp, raw = detect_and_describe(
+                image_bgr, self.cfg, max_keypoints, train_topup, rng
+            )
+            t1 = t2 = time.perf_counter()
+            desc128 = raw.astype(np.float32)
+            norms = np.linalg.norm(desc128, axis=1, keepdims=True)
+            desc128 = desc128 / np.maximum(norms, 1e-12)
+            desc256 = np.concatenate([desc128, desc128], axis=1)
+            t3 = time.perf_counter()
+        else:
+            kp = detect(image_bgr, self.cfg, max_keypoints, train_topup, rng)
+            t1 = time.perf_counter()
+            h, w = image_bgr.shape[:2]
+            pyramid = pyramid_from_uint8(jnp.asarray(image_bgr), h, w)
+            patches = extract_patches(pyramid, kp, self.cfg.interpolation)
+            t2 = time.perf_counter()
+            desc128 = self.engine.compute(patches)
+            desc256 = np.concatenate([desc128, desc128], axis=1)
+            t3 = time.perf_counter()
         self.timings = {
             "detect": t1 - t0, "patches": t2 - t1, "descriptors": t3 - t2,
         }
@@ -82,24 +112,41 @@ class FeatureFrontend:
         import jax.numpy as jnp
 
         t0 = time.perf_counter()
-        kp = detect(image_bgr, self.cfg, max_keypoints, train_topup, rng)
+        host_desc = None
+        if self.cfg.descriptor_source == "sift":
+            kp, host_desc = detect_and_describe(
+                image_bgr, self.cfg, max_keypoints, train_topup, rng
+            )
+        else:
+            kp = detect(image_bgr, self.cfg, max_keypoints, train_topup, rng)
         n = len(kp)
         nb = bucket if bucket is not None else bucket_size(n, DEFAULT_BUCKETS)
         if n > nb:
             kp = KeypointArrays(*(a[:nb] for a in (
                 kp.pt, kp.size, kp.angle, kp.response, kp.octave, kp.layer,
                 kp.scale)))
+            if host_desc is not None:
+                host_desc = host_desc[:nb]
             n = nb
         t1 = time.perf_counter()
-        h, w = image_bgr.shape[:2]
-        pyramid = pyramid_from_uint8(jnp.asarray(image_bgr), h, w)
-        patches = extract_patches_device(
-            pyramid, kp, nb, self.cfg.interpolation, self.cfg.warp_size
-        )
-        t2 = time.perf_counter()
-        desc128 = self.engine.compute_device(patches)
-        desc256 = jnp.concatenate([desc128, desc128], axis=1)
-        t3 = time.perf_counter()
+        if host_desc is not None:
+            pad = np.zeros((nb, 128), np.uint8)
+            pad[:n] = host_desc
+            t2 = time.perf_counter()
+            # ship uint8 (4x less tunnel traffic), normalize + duplicate
+            # to 256-d on device
+            desc256 = _normalize_duplicate(jnp.asarray(pad))
+            t3 = time.perf_counter()
+        else:
+            h, w = image_bgr.shape[:2]
+            pyramid = pyramid_from_uint8(jnp.asarray(image_bgr), h, w)
+            patches = extract_patches_device(
+                pyramid, kp, nb, self.cfg.interpolation, self.cfg.warp_size
+            )
+            t2 = time.perf_counter()
+            desc128 = self.engine.compute_device(patches)
+            desc256 = jnp.concatenate([desc128, desc128], axis=1)
+            t3 = time.perf_counter()
 
         kpts = np.full((nb, 2), 1e6, np.float32)
         kpts[:n] = kp.pt

@@ -108,3 +108,43 @@ def detect(
         extra, _ = sift.compute(image_bgr, extra)
         kps = list(kps) + list(extra)
     return keypoints_to_arrays(kps)
+
+
+def detect_and_describe(
+    image_bgr: np.ndarray,
+    cfg: FrontendConfig,
+    max_keypoints: Optional[int] = None,
+    train_topup: bool = False,
+    rng: Optional[np.random.RandomState] = None,
+):
+    """Detect + host OpenCV SIFT descriptors in one pass.
+
+    This is the `descriptor_source="sift"` frontend: the reference
+    describes keypoints with a pretrained CAR-HyNet (weights/car_hynet.pth,
+    reference: carhynet/models.py:644-653) whose weights are not available
+    in this environment — raw SIFT descriptors are the standard substitute
+    descriptor engine (and skip the patch-warp + CNN device work entirely).
+    Returns (KeypointArrays, (N, 128) uint8 raw descriptors); normalize
+    to unit L2 before use to match CAR-HyNet's unit-norm output
+    (reference: carhynet/models.py:9-21 desc_l2norm).
+    """
+    sift = make_sift(cfg)
+    max_kp = cfg.max_keypoints if max_keypoints is None else max_keypoints
+    kps = sift.detect(image_bgr, None)
+    kps = filter_top_responses(kps, max_kp)
+    if train_topup and 0 < max_kp and len(kps) < max_kp:
+        rng = rng or np.random
+        need = max_kp - len(kps)
+        coords = np.empty((need, 2), np.float64)
+        coords[:, 0] = rng.random_sample(need) * image_bgr.shape[1]
+        coords[:, 1] = rng.random_sample(need) * image_bgr.shape[0]
+        kps = list(kps) + [
+            cv2.KeyPoint(float(x), float(y), 1) for x, y in coords
+        ]
+    kps, desc = sift.compute(image_bgr, kps)
+    if desc is None:
+        desc = np.zeros((0, 128), np.float32)
+    # OpenCV SIFT descriptor entries are integers in [0, 255] — returned
+    # as uint8 so callers can ship 1/4 the bytes to the device (the
+    # host->device tunnel runs at ~6 MB/s) and L2-normalize there.
+    return keypoints_to_arrays(kps), desc.astype(np.uint8)

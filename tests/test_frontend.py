@@ -148,6 +148,51 @@ def test_full_frontend_extract():
     assert out["scores"].shape == (n,)
 
 
+def test_sift_descriptor_source():
+    """descriptor_source='sift': host OpenCV descriptors, L2-normalized and
+    duplicated to 256-d; device (padded) path agrees with the host path."""
+    img = synthetic_image(120, 160, seed=5)
+    cfg = FrontendConfig(descriptor_source="sift")
+    fe = FeatureFrontend(cfg)
+    out = fe.extract(img)
+    n = out["keypoints"].shape[0]
+    assert n > 50
+    assert out["descriptors"].shape == (n, 256)
+    np.testing.assert_array_equal(
+        out["descriptors"][:, :128], out["descriptors"][:, 128:]
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(out["descriptors"], axis=1), np.sqrt(2.0), rtol=1e-4
+    )
+    # oracle: cv2's own detect+compute at the same keypoints
+    sift = fsift.make_sift(cfg)
+    kps = sift.detect(img, None)
+    kps, desc = sift.compute(img, kps)
+    want = desc / np.maximum(
+        np.linalg.norm(desc, axis=1, keepdims=True), 1e-12
+    )
+    np.testing.assert_allclose(out["descriptors"][:, :128], want, atol=1e-5)
+
+    # padded/device path
+    pout = fe.extract_padded(img)
+    nb = pout["kpts"].shape[0]
+    assert pout["desc"].shape == (nb, 256)
+    np.testing.assert_allclose(
+        np.asarray(pout["desc"][:n]), out["descriptors"], atol=2e-5
+    )
+    assert not np.asarray(pout["valid"][n:]).any()
+    # padding rows are zero descriptors
+    assert float(jnp.abs(pout["desc"][n:]).max()) == 0.0
+
+    # train_topup keeps fixed counts in sift mode too
+    kp2, d2 = fsift.detect_and_describe(
+        img, cfg, max_keypoints=3000, train_topup=True,
+        rng=np.random.RandomState(0),
+    )
+    assert len(kp2) == d2.shape[0]
+    assert len(kp2) >= 2900  # cv2.compute may drop a few border points
+
+
 def test_detect_train_topup():
     img = synthetic_image(100, 100, seed=2)
     cfg = FrontendConfig()
