@@ -38,16 +38,27 @@ def main(argv=None):
                         help="fast TPU frontend (linear 32x32 sampling)")
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
                         choices=["carhynet", "sift"])
+    parser.add_argument("--neg_cells", type=str, default=None,
+                        choices=["corner", "dustbin"],
+                        help="'corner' = reference loss parity (negatives "
+                             "carry no gradient); 'dustbin' = corrected "
+                             "negative supervision")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config_path if os.path.exists(args.config_path)
                       else None)
-    if args.descriptor_source != "carhynet":
-        import dataclasses
+    import dataclasses
 
+    if args.descriptor_source != "carhynet":
         cfg = dataclasses.replace(
             cfg, frontend=dataclasses.replace(
                 cfg.frontend, descriptor_source=args.descriptor_source
+            ),
+        )
+    if args.neg_cells:
+        cfg = dataclasses.replace(
+            cfg, matcher=dataclasses.replace(
+                cfg.matcher, neg_cells=args.neg_cells
             ),
         )
     save_dir = increment_path(

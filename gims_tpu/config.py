@@ -48,6 +48,14 @@ class MatcherConfig:
     # Loss weights (reference: configs/coco_config.yaml:25-26)
     pos_loss_weight: float = 0.45
     neg_loss_weight: float = 1.0
+    # Negative GT cell routing. "corner" is reference parity: every
+    # negative/pruned GT row collapses to the dustbin-dustbin corner cell
+    # Z[M, N] (reference: models/gmatcher.py:356-374 via torch -1
+    # indexing), whose clamped value saturates at 0 — negatives carry NO
+    # gradient. "dustbin" is the corrected mode: (i, -1) rows supervise
+    # the real dustbin column Z[i, N] and (-1, j) rows Z[M, j], so
+    # unmatched keypoints actually learn to go to the bin.
+    neg_cells: str = "corner"
     # TPU-specific: compute attention in bfloat16 (accumulate f32).
     attention_dtype: str = "float32"
     # Use the Pallas streaming Sinkhorn kernel (gims_tpu/matcher/
@@ -177,6 +185,7 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         num_gnn_layers=2 * tp.get("tf_layers", cfg.matcher.num_gnn_layers // 2),
         pos_loss_weight=tp.get("pos_loss_weight", cfg.matcher.pos_loss_weight),
         neg_loss_weight=tp.get("neg_loss_weight", cfg.matcher.neg_loss_weight),
+        neg_cells=tp.get("neg_cells", cfg.matcher.neg_cells),
     )
     train = _update(
         cfg.train,

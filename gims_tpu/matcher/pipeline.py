@@ -121,26 +121,35 @@ def forward_match(
     }
 
 
-def remap_gt_to_dustbin(gt_rows, gt_valid, kept0, kept1, nb0, nb1):
+def remap_gt_to_dustbin(gt_rows, gt_valid, kept0, kept1, nb0, nb1,
+                        neg_cells: str = "corner"):
     """Reference: models/gmatcher.py:337-374.
 
     GT rows are (R, 3) = (batch, i0, i1) in ORIGINAL (padded) index space.
     The reference compacts keypoints after AGC and remaps GT through the
     kept-index dictionaries; any row containing -1 — and any row whose
     endpoint was pruned — collapses to (-1, -1), which in torch's negative
-    indexing selects the dustbin-dustbin corner cell Z[M, N]. We reproduce
-    that exactly: such rows index (nb0, nb1).
+    indexing selects the dustbin-dustbin corner cell Z[M, N]. With
+    neg_cells="corner" we reproduce that exactly: such rows index
+    (nb0, nb1), whose clamped score saturates at 0 (zero gradient — the
+    reference defect). With neg_cells="dustbin" the corrected routing
+    supervises the REAL dustbin cells: a bad side-0 endpoint maps to row
+    nb0, a bad side-1 endpoint to column nb1, so negatives carry gradient.
     """
     b = gt_rows[:, 0]
     i0 = gt_rows[:, 1]
     i1 = gt_rows[:, 2]
-    has_neg = (i0 < 0) | (i1 < 0)
     i0c = jnp.clip(i0, 0, nb0 - 1)
     i1c = jnp.clip(i1, 0, nb1 - 1)
-    dropped = (~kept0[b, i0c] & (i0 >= 0)) | (~kept1[b, i1c] & (i1 >= 0))
-    neg_flag = has_neg | dropped
-    i0_eff = jnp.where(neg_flag, nb0, i0c)
-    i1_eff = jnp.where(neg_flag, nb1, i1c)
+    bad0 = (i0 < 0) | (~kept0[b, i0c] & (i0 >= 0))
+    bad1 = (i1 < 0) | (~kept1[b, i1c] & (i1 >= 0))
+    neg_flag = bad0 | bad1
+    if neg_cells == "dustbin":
+        i0_eff = jnp.where(bad0, nb0, i0c)
+        i1_eff = jnp.where(bad1, nb1, i1c)
+    else:
+        i0_eff = jnp.where(neg_flag, nb0, i0c)
+        i1_eff = jnp.where(neg_flag, nb1, i1c)
     return b, i0_eff, i1_eff, neg_flag & gt_valid, gt_valid
 
 
@@ -178,7 +187,7 @@ def training_forward(
     Z = out["Z"]
 
     b, i0_eff, i1_eff, neg_flag, row_valid = remap_gt_to_dustbin(
-        gt_rows, gt_valid, kept0, kept1, nb0, nb1
+        gt_rows, gt_valid, kept0, kept1, nb0, nb1, mcfg.neg_cells
     )
     vals = Z[b, i0_eff, i1_eff]
     vals = jnp.clip(vals, -100.0, 0.0)

@@ -13,7 +13,11 @@ Usage: python scripts/profile_matcher.py [--bucket 12288] [--repeats 5]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

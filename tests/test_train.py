@@ -123,6 +123,37 @@ def test_weight_decay_mask():
             assert not val, name
 
 
+def test_remap_gt_neg_cells_modes():
+    """corner = reference parity (all negative rows -> Z[M,N]); dustbin =
+    corrected routing to the real dustbin row/column."""
+    from gims_tpu.matcher.pipeline import remap_gt_to_dustbin
+
+    nb0 = nb1 = 4
+    kept0 = jnp.asarray([[True, True, False, True]])
+    kept1 = jnp.asarray([[True, True, True, False]])
+    rows = jnp.asarray([
+        [0, 0, 1],    # positive, both kept
+        [0, 1, -1],   # side-0 unmatched
+        [0, -1, 2],   # side-1 unmatched
+        [0, 2, 0],    # side-0 endpoint pruned by AGC
+        [0, 0, 3],    # side-1 endpoint pruned by AGC
+    ], jnp.int32)
+    valid = jnp.ones(5, bool)
+
+    _, i0c, i1c, negc, _ = remap_gt_to_dustbin(
+        rows, valid, kept0, kept1, nb0, nb1, "corner")
+    np.testing.assert_array_equal(np.asarray(i0c), [0, 4, 4, 4, 4])
+    np.testing.assert_array_equal(np.asarray(i1c), [1, 4, 4, 4, 4])
+    np.testing.assert_array_equal(np.asarray(negc),
+                                  [False, True, True, True, True])
+
+    _, i0d, i1d, negd, _ = remap_gt_to_dustbin(
+        rows, valid, kept0, kept1, nb0, nb1, "dustbin")
+    np.testing.assert_array_equal(np.asarray(i0d), [0, 1, 4, 4, 0])
+    np.testing.assert_array_equal(np.asarray(i1d), [1, 4, 2, 0, 4])
+    np.testing.assert_array_equal(np.asarray(negd), np.asarray(negc))
+
+
 def test_homography_synthesis_shapes():
     cfg = GIMSConfig().dataset
     ds = data_mod.SyntheticPairDataset(cfg, length=3, seed=0)
