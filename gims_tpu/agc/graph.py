@@ -67,19 +67,22 @@ def cosine_similarity_matrix(descs: jnp.ndarray) -> jnp.ndarray:
 
 
 def kth_smallest_masked(values: jnp.ndarray, mask: jnp.ndarray, k: jnp.ndarray,
-                        lo: float, hi: float, passes: int = 6,
-                        fanout: int = 64) -> jnp.ndarray:
+                        lo: float, hi: float, passes: int = 12,
+                        fanout: int = 8) -> jnp.ndarray:
     """Exact k-th (0-indexed) order statistic of values[mask] by multisection.
 
     Replaces np.partition(similarities, k)[k] (reference: agc.py:367-380)
     without sorting the O(N^2) similarity set. Each pass counts fanout-1
-    interior thresholds in ONE fused read of `values` (the comparisons are
-    VPU-cheap; HBM traffic is what matters), narrowing the bracket by
-    `fanout` per pass — 6 passes x 64-way = 2^36 narrowing, tighter than
-    the 34 halvings this replaces at ~6x less HBM traffic. After the
-    bracket is below f32 spacing, the result is snapped to the smallest
-    actual element > lo_final, so the returned threshold is an exact member
-    of the set (ties then behave identically under the reference's >=
+    interior thresholds in ONE fused read of `values`, narrowing the
+    bracket by `fanout` per pass — 12 passes x 8-way = 2^36 narrowing,
+    tighter than the 34 halvings this replaces. Measured on the v5e at
+    N=12288 (scripts/bench_threshold.py): one count pass is HBM-roofline
+    (~1.4 ms marginal), wider fanouts go VPU-bound (64-way costs 23 ms/
+    pass), so fanout=8/passes=12 is the sweet spot: 77 ms vs 98 ms
+    (bisection) vs 176 ms (64-way) for two images. After the bracket is
+    below f32 spacing, the result is snapped to the smallest actual
+    element > lo_final, so the returned threshold is an exact member of
+    the set (ties then behave identically under the reference's >=
     comparison).
     """
     values = values.astype(jnp.float32)
