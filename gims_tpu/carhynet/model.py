@@ -182,10 +182,20 @@ def desc_l2norm(desc):
 
 
 class CARHyNet(nn.Module):
-    """Reference: carhynet/models.py:311-399. Input (B, 32, 32, 3) in [0,1]."""
+    """Reference: carhynet/models.py:311-399. Input (B, 32, 32, 3) in [0,1].
+
+    dense=True runs the SAME parameter set fully convolutionally over an
+    arbitrary (B, H, W, 3) image instead of per-patch: the final 8x8 VALID
+    conv becomes SAME-padded, and the output is a stride-4 per-pixel
+    L2-normalized descriptor map (B, ceil(H/4), ceil(W/4), dim_desc). This
+    is the TPU-first replacement for warping one patch per keypoint
+    (reference: utils/library.py:84-110): dense conv work is pure MXU,
+    then descriptors are bilinearly sampled at keypoints (see
+    frontend/dense.py)."""
 
     dim_desc: int = 128
     drop_rate: float = 0.2
+    dense: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -224,9 +234,18 @@ class CARHyNet(nn.Module):
         # --- layer7: dropout + 8x8 conv -> BN (no affine) ---
         if train and self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate, deterministic=False)(x)
-        x = nn.Conv(self.dim_desc, (8, 8), padding="VALID", use_bias=False,
+        pad = ((3, 4), (3, 4)) if self.dense else "VALID"
+        x = nn.Conv(self.dim_desc, (8, 8), padding=pad, use_bias=False,
                     name="l7_conv")(x)
         x = _bn("l7_bn", train, affine=False)(x)
+        if self.dense:
+            denom = jnp.sqrt(
+                jnp.sum(jnp.square(x), axis=-1, keepdims=True) + EPS_L2_NORM
+            )
+            desc_map = x / denom
+            if train:
+                return desc_map, x
+            return desc_map
         desc_raw = x.reshape(x.shape[0], self.dim_desc)
         desc = desc_l2norm(desc_raw)
         if train:

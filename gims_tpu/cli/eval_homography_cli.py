@@ -36,7 +36,7 @@ def main(argv=None, dgims=False):
                         help="TPU speed path: bf16 attention, Pallas OT, "
                              "linear 32x32 patch sampling")
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
-                        choices=["carhynet", "sift"],
+                        choices=["carhynet", "sift", "dense"],
                         help="'sift' = host OpenCV descriptors (the in-env "
                              "substitute for the missing car_hynet.pth)")
     args = parser.parse_args(argv)

@@ -22,7 +22,7 @@ def main(argv=None):
     parser.add_argument("--agc_p", type=float, default=2)
     parser.add_argument("--agc_m", type=int, default=7)
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
-                        choices=["carhynet", "sift"])
+                        choices=["carhynet", "sift", "dense"])
     parser.add_argument("--fast", action="store_true")
     args = parser.parse_args(argv)
 

@@ -24,6 +24,14 @@ def increment_path(path, exist_ok=True, sep=""):
 
 
 def main(argv=None):
+    # long-running entry point: make hangs debuggable (SIGUSR2 dumps all
+    # Python stacks to stderr without killing the process)
+    import faulthandler
+    import signal
+
+    faulthandler.enable()
+    faulthandler.register(signal.SIGUSR2, all_threads=True)
+
     parser = argparse.ArgumentParser(description="GIMS-TPU training")
     parser.add_argument("--config_path", type=str,
                         default="configs/coco_config.yaml")
@@ -37,7 +45,7 @@ def main(argv=None):
     parser.add_argument("--fast", action="store_true",
                         help="fast TPU frontend (linear 32x32 sampling)")
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
-                        choices=["carhynet", "sift"])
+                        choices=["carhynet", "sift", "dense"])
     parser.add_argument("--neg_cells", type=str, default=None,
                         choices=["corner", "dustbin"],
                         help="'corner' = reference loss parity (negatives "

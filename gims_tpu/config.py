@@ -83,6 +83,8 @@ class FrontendConfig:
     # "carhynet" = reference frontend (patch warp + CNN). "sift" = host
     # OpenCV SIFT descriptors — the in-env substitute for the reference's
     # pretrained car_hynet.pth (absent here), and a faster host-only path.
+    # "dense" = convolutional CAR-HyNet over pyramid levels + bilinear
+    # descriptor sampling (frontend/dense.py) — no per-keypoint patch warp.
     descriptor_source: str = "carhynet"
 
 

@@ -47,8 +47,13 @@ class FeatureFrontend:
                  weights_path: Optional[str] = None):
         self.cfg = cfg or FrontendConfig()
         self.engine = None
+        self.dense = None
         if self.cfg.descriptor_source != "sift":
             self.engine = engine or DescriptorEngine(weights_path=weights_path)
+        if self.cfg.descriptor_source == "dense":
+            from gims_tpu.frontend.dense import DenseDescriptorFrontend
+
+            self.dense = DenseDescriptorFrontend(self.engine.variables)
         self.timings = {}
 
     def extract(
@@ -72,6 +77,15 @@ class FeatureFrontend:
             desc128 = raw.astype(np.float32)
             norms = np.linalg.norm(desc128, axis=1, keepdims=True)
             desc128 = desc128 / np.maximum(norms, 1e-12)
+            desc256 = np.concatenate([desc128, desc128], axis=1)
+            t3 = time.perf_counter()
+        elif self.dense is not None:
+            kp = detect(image_bgr, self.cfg, max_keypoints, train_topup, rng)
+            t1 = time.perf_counter()
+            h, w = image_bgr.shape[:2]
+            pyramid = pyramid_from_uint8(jnp.asarray(image_bgr), h, w)
+            t2 = time.perf_counter()
+            desc128 = np.asarray(self.dense.compute(pyramid, kp, len(kp)))
             desc256 = np.concatenate([desc128, desc128], axis=1)
             t3 = time.perf_counter()
         else:
@@ -136,6 +150,13 @@ class FeatureFrontend:
             # ship uint8 (4x less tunnel traffic), normalize + duplicate
             # to 256-d on device
             desc256 = _normalize_duplicate(jnp.asarray(pad))
+            t3 = time.perf_counter()
+        elif self.dense is not None:
+            h, w = image_bgr.shape[:2]
+            pyramid = pyramid_from_uint8(jnp.asarray(image_bgr), h, w)
+            t2 = time.perf_counter()
+            desc128 = self.dense.compute(pyramid, kp, nb)
+            desc256 = jnp.concatenate([desc128, desc128], axis=1)
             t3 = time.perf_counter()
         else:
             h, w = image_bgr.shape[:2]

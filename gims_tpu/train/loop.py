@@ -33,27 +33,39 @@ from gims_tpu.eval import metrics as M
 from gims_tpu.eval.homography import evaluate_pair
 
 
-def extract_batch(frontend: FeatureFrontend, images, max_keypoints, rng):
-    """images: list of (H, W, 3) uint8 -> stacked padded DEVICE arrays."""
-    kpts, descs, valids = [], [], []
-    for img in images:
-        out = frontend.extract_padded(
+def extract_batch(frontend: FeatureFrontend, images, max_keypoints, seeds,
+                  pool=None):
+    """images: list of (H, W, 3) uint8 -> stacked padded DEVICE arrays.
+
+    Each image gets its own topup RandomState (seeded by the caller) so a
+    thread pool can extract sides concurrently — cv2 releases the GIL."""
+
+    def one(args):
+        img, seed = args
+        return frontend.extract_padded(
             img, max_keypoints=max_keypoints, bucket=max_keypoints,
-            train_topup=True, rng=rng,
+            train_topup=True, rng=np.random.RandomState(seed),
         )
-        kpts.append(out["kpts"])
-        descs.append(out["desc"])
-        valids.append(out["valid"])
+
+    outs = list((pool.map if pool is not None else map)(
+        one, zip(images, seeds)))
+    kpts = [o["kpts"] for o in outs]
+    descs = [o["desc"] for o in outs]
+    valids = [o["valid"] for o in outs]
     return jnp.stack(kpts), jnp.stack(descs), jnp.stack(valids)
 
 
-def build_batch(frontend, pairs, max_keypoints, rng):
+def build_batch(frontend, pairs, max_keypoints, rng, pool=None):
     """pairs: list of (orig, warped, H) -> train-step batch dict."""
     origs = [p[0] for p in pairs]
     warps = [p[1] for p in pairs]
     Hs = np.stack([p[2] for p in pairs])
-    kp0, de0, va0 = extract_batch(frontend, origs, max_keypoints, rng)
-    kp1, de1, va1 = extract_batch(frontend, warps, max_keypoints, rng)
+    seeds = rng.randint(0, 2**31 - 1, size=2 * len(pairs))
+    half = len(pairs)
+    kpA, deA, vaA = extract_batch(frontend, origs + warps, max_keypoints,
+                                  seeds, pool)
+    kp0, de0, va0 = kpA[:half], deA[:half], vaA[:half]
+    kp1, de1, va1 = kpA[half:], deA[half:], vaA[half:]
 
     rows_list, valid_list = [], []
     for b in range(len(pairs)):
@@ -71,6 +83,49 @@ def build_batch(frontend, pairs, max_keypoints, rng):
         "kpts1": kp1, "desc1": de1, "valid1": va1,
         "gt_rows": jnp.stack(rows_list),
         "gt_valid": jnp.stack(valid_list),
+    }
+
+
+def build_batch_raw(fe_cfg, pairs, max_keypoints, rng, pool=None):
+    """Host-only batch builder for the fused SIFT train step: detect +
+    describe on the host, pad, and ship four arrays; normalization and GT
+    matching happen inside the jitted step (train/step.py)."""
+    from gims_tpu.frontend.sift import detect_and_describe
+
+    images = [p[0] for p in pairs] + [p[1] for p in pairs]
+    seeds = rng.randint(0, 2**31 - 1, size=len(images))
+    nb = max_keypoints
+
+    def one(args):
+        img, seed = args
+        kp, d = detect_and_describe(
+            img, fe_cfg, max_keypoints, train_topup=True,
+            rng=np.random.RandomState(seed),
+        )
+        n = min(len(kp), nb)
+        kpts = np.full((nb, 2), 1e6, np.float32)
+        kpts[:n] = kp.pt[:n]
+        du8 = np.zeros((nb, 128), np.uint8)
+        du8[:n] = d[:n]
+        valid = np.zeros((nb,), bool)
+        valid[:n] = True
+        return kpts, du8, valid
+
+    outs = list((pool.map if pool is not None else map)(
+        one, zip(images, seeds)))
+    half = len(pairs)
+    kpts = np.stack([o[0] for o in outs])
+    du8 = np.stack([o[1] for o in outs])
+    valid = np.stack([o[2] for o in outs])
+    return {
+        "kpts0": jnp.asarray(kpts[:half]),
+        "desc0_u8": jnp.asarray(du8[:half]),
+        "valid0": jnp.asarray(valid[:half]),
+        "kpts1": jnp.asarray(kpts[half:]),
+        "desc1_u8": jnp.asarray(du8[half:]),
+        "valid1": jnp.asarray(valid[half:]),
+        "homography": jnp.asarray(
+            np.stack([p[2] for p in pairs]).astype(np.float32)),
     }
 
 
@@ -181,18 +236,44 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
            f"{num_batches} batches/epoch, {n_devices} device(s)")
     header = ("%10s" * 8) % ("Epoch", "Iter", "PosLoss", "NegLoss",
                              "TotLoss", "Dtime", "Ptime", "Mtime")
+    # Pipelined host work: a prefetch worker prepares batch i+1 (dataset
+    # synthesis + SIFT + GT dispatch) while the device runs step i; inside
+    # a batch the per-image extracts run on a small thread pool (cv2
+    # releases the GIL). The prefetch worker alone touches the dataset and
+    # rng, so data order stays deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    side_pool = ThreadPoolExecutor(max_workers=max(2, 2 * tcfg.batch_size))
+    prefetch = ThreadPoolExecutor(max_workers=1)
+
+    fused_sift = cfg.frontend.descriptor_source == "sift"
+
+    def make_batch(idxs):
+        t1 = time.time()
+        pairs = [train_dataset[int(i)] for i in idxs]
+        t2 = time.time()
+        if fused_sift:
+            batch = build_batch_raw(cfg.frontend, pairs, tcfg.max_keypoints,
+                                    rng, pool=side_pool)
+        else:
+            batch = build_batch(frontend, pairs, tcfg.max_keypoints, rng,
+                                pool=side_pool)
+        return batch, t2 - t1, time.time() - t2
+
     for epoch in range(start_epoch, tcfg.num_epochs):
         log_fn(header)
         rng.shuffle(order)
         mloss = np.zeros(3)
         t5 = time.time()
+        fut = prefetch.submit(make_batch, order[:bsz])
         for it in range(num_batches):
-            idxs = order[it * bsz:(it + 1) * bsz]
+            batch, dt_data, dt_prep = fut.result()
+            if it + 1 < num_batches and not (0 < max_steps <= global_step + 1):
+                fut = prefetch.submit(
+                    make_batch, order[(it + 1) * bsz:(it + 2) * bsz])
             t1 = time.time()
-            pairs = [train_dataset[int(i)] for i in idxs]
-            t2 = time.time()
-            batch = build_batch(frontend, pairs, tcfg.max_keypoints, rng)
-            t3 = time.time()
+            t2 = t1 + dt_data
+            t3 = t1 + dt_data + dt_prep
             state, metrics = step_fn(state, batch)
             metrics = {k: float(v) for k, v in metrics.items()}
             t4 = time.time()
@@ -251,6 +332,8 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
             ckpt_io.save_orbax(str(weight_dir / "best"), ckpt_state)
         if 0 < max_steps <= global_step:
             break
+    prefetch.shutdown(wait=False)
+    side_pool.shutdown(wait=False)
     results_file.close()
     metrics_file.close()
     return state

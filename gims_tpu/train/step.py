@@ -25,6 +25,7 @@ from jax import shard_map
 
 from gims_tpu.config import GIMSConfig
 from gims_tpu.matcher import pipeline
+from gims_tpu.train import gt as gt_mod
 
 
 class TrainState(struct.PyTreeNode):
@@ -110,10 +111,40 @@ def make_train_step(cfg: GIMSConfig, tx, image_shape, axis_name=None):
     and per-item gt_rows (B, R, 3) / gt_valid (B, R); the rows' batch
     column is rewritten locally so the same arrays shard cleanly over the
     data axis.
+
+    Fused raw form: when the batch instead carries desc0_u8/desc1_u8
+    (host SIFT uint8 descriptors) and the per-pair "homography", the
+    descriptor normalization + 128->256 duplication AND the GT
+    reprojection matching run INSIDE this one program — the host only
+    uploads four arrays per batch instead of dispatching ~15 small device
+    calls (each a ~29 ms RPC through the tunnel).
     """
     mcfg, acfg = cfg.matcher, cfg.agc
 
+    def _norm_dup(u8):
+        d = u8.astype(jnp.float32)
+        norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        d = d / jnp.maximum(norm, 1e-12)
+        return jnp.concatenate([d, d], axis=-1)
+
     def step(state: TrainState, batch):
+        if "homography" in batch:
+            batch = dict(batch)
+            batch["desc0"] = _norm_dup(batch.pop("desc0_u8"))
+            batch["desc1"] = _norm_dup(batch.pop("desc1_u8"))
+
+            def one_gt(kp0, kp1, H, v0, v1):
+                m0, m1 = gt_mod.find_matches(
+                    kp0, kp1, H, v0, v1, dist_thresh=3.0, n_iters=1
+                )
+                return gt_mod.build_gt_rows(m0, m1, v0, v1, batch_index=0)
+
+            rows_b, valid_b = jax.vmap(one_gt)(
+                batch["kpts0"], batch["kpts1"], batch["homography"],
+                batch["valid0"], batch["valid1"],
+            )
+            batch["gt_rows"] = rows_b
+            batch["gt_valid"] = valid_b
         bsz, nrows, _ = batch["gt_rows"].shape
         b_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), nrows)
         rows = batch["gt_rows"].reshape(bsz * nrows, 3)
@@ -167,11 +198,9 @@ def make_distributed_train_step(cfg: GIMSConfig, tx, image_shape,
     inner = make_train_step(cfg, tx, image_shape, axis_name=axis_name)
 
     state_spec = P()  # replicated
-    batch_spec = {
-        "kpts0": P(axis_name), "desc0": P(axis_name), "valid0": P(axis_name),
-        "kpts1": P(axis_name), "desc1": P(axis_name), "valid1": P(axis_name),
-        "gt_rows": P(axis_name), "gt_valid": P(axis_name),
-    }
+    # prefix spec: every batch leaf (either classic or fused-raw form) is
+    # batch-major, sharded over the data axis
+    batch_spec = P(axis_name)
 
     @functools.partial(
         shard_map, mesh=mesh,

@@ -211,6 +211,57 @@ def test_single_device_train_step(rng):
     assert max(moved) > 0
 
 
+def test_fused_raw_step_matches_classic():
+    """The fused SIFT train step (uint8 descs + homography in, GT computed
+    in-graph) must produce the same losses/params as the classic path."""
+    import dataclasses
+
+    from gims_tpu.config import FrontendConfig, DatasetConfig
+    from gims_tpu.frontend.feature import FeatureFrontend
+    from gims_tpu.train.loop import build_batch, build_batch_raw
+    from gims_tpu.train.data import SyntheticPairDataset
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        matcher=dataclasses.replace(cfg.matcher, descriptor_dim=256,
+                                    input_dim=256),
+        frontend=FrontendConfig(descriptor_source="sift"),
+    )
+    ds = SyntheticPairDataset(
+        DatasetConfig(image_height=120, image_width=160,
+                      apply_color_aug=False), length=1, seed=0)
+    pairs = [ds[0]]
+    nb = 256
+
+    fe = FeatureFrontend(cfg.frontend)
+    batch_a = build_batch(fe, pairs, nb, np.random.RandomState(5))
+    batch_b = build_batch_raw(cfg.frontend, pairs, nb,
+                              np.random.RandomState(5))
+    np.testing.assert_allclose(np.asarray(batch_a["desc0"]),
+                               np.asarray(jnp.concatenate([
+                                   batch_b["desc0_u8"],
+                                   batch_b["desc0_u8"]], -1) /
+                                   jnp.maximum(jnp.linalg.norm(
+                                       batch_b["desc0_u8"].astype(
+                                           jnp.float32),
+                                       axis=-1, keepdims=True), 1e-12)),
+                               atol=1e-5)
+
+    variables = init_gmatcher_variables(cfg.matcher)
+    state_a, tx_a = step_mod.create_train_state(cfg, variables, 10)
+    step = jax.jit(step_mod.make_train_step(cfg, tx_a, (120, 160)))
+    sa, ma = step(state_a, batch_a)
+    state_b, _ = step_mod.create_train_state(cfg, variables, 10)
+    sb, mb = step(state_b, batch_b)
+    np.testing.assert_allclose(float(ma["total_loss"]),
+                               float(mb["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sa.params),
+                    jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_multichip_dp_step_matches_single(rng):
     """8-device DP step == single-device step on the same global batch.
 
