@@ -58,6 +58,11 @@ class MatcherConfig:
     neg_cells: str = "corner"
     # TPU-specific: compute attention in bfloat16 (accumulate f32).
     attention_dtype: str = "float32"
+    # Attention implementation: "auto" picks the fused Pallas kernel on
+    # TPU above the flash threshold (matcher/pallas_attention.py), the
+    # direct path for small buckets, and the lax.scan flash path
+    # elsewhere; "direct"/"flash"/"pallas" force one.
+    attention_impl: str = "auto"
     # Use the Pallas streaming Sinkhorn kernel (gims_tpu/matcher/
     # pallas_sinkhorn.py) instead of the XLA loop. TPU only.
     use_pallas_sinkhorn: bool = False

@@ -5,13 +5,13 @@ Two interchangeable paths:
 * `masked_attention_direct`: materializes (B, H, N, M) scores — used for
   small buckets and as the reference/tests implementation.
 * `masked_attention_flash`: blockwise streaming softmax over key chunks
-  (`jax.lax.scan`) so the N x M score matrix never exists in full — the
-  default above FLASH_THRESHOLD keys. At the reference's eval scale
-  (N ~ 15k) the direct path would need ~4 GB per call per layer
-  (SURVEY.md §5 long-context row); the flash path is O(N * block).
-
-A Pallas fused kernel can be slotted in behind the same signature
-(see gims_tpu/matcher/pallas_attention.py).
+  (`jax.lax.scan`) so the N x M score matrix never exists in full. At the
+  reference's eval scale (N ~ 15k) the direct path would need ~4 GB per
+  call per layer (SURVEY.md §5 long-context row); the flash path is
+  O(N * block).
+* `masked_attention_pallas` (gims_tpu/matcher/pallas_attention.py): the
+  fused VMEM-resident kernel — the default above FLASH_THRESHOLD keys on
+  TPU backends; flash is the non-TPU fallback.
 
 Math parity: reference models/gmatcher.py:35-39 — scores scaled by
 1/sqrt(head_dim), softmax over keys.
@@ -95,8 +95,24 @@ def masked_attention_flash(q, k, v, key_mask, block_size=FLASH_BLOCK,
     return out.transpose(0, 2, 1, 3).astype(q.dtype)  # back to (B, N, H, D)
 
 
-def masked_attention(q, k, v, key_mask, precision=None):
-    """Dispatch direct vs flash by static key count."""
-    if k.shape[1] <= FLASH_THRESHOLD:
+def masked_attention(q, k, v, key_mask, precision=None, impl: str = "auto"):
+    """Dispatch by static key count and backend.
+
+    impl: "auto" (pallas on TPU above FLASH_THRESHOLD, else direct/flash),
+    or force "direct" / "flash" / "pallas" / "pallas_interpret".
+    """
+    if impl in ("pallas", "pallas_interpret"):
+        from gims_tpu.matcher.pallas_attention import masked_attention_pallas
+
+        return masked_attention_pallas(
+            q, k, v, key_mask, interpret=(impl == "pallas_interpret")
+        )
+    if impl == "direct" or (
+        impl == "auto" and k.shape[1] <= FLASH_THRESHOLD
+    ):
         return masked_attention_direct(q, k, v, key_mask, precision=precision)
+    if impl == "auto" and jax.default_backend() == "tpu":
+        from gims_tpu.matcher.pallas_attention import masked_attention_pallas
+
+        return masked_attention_pallas(q, k, v, key_mask)
     return masked_attention_flash(q, k, v, key_mask, precision=precision)

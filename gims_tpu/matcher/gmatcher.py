@@ -73,7 +73,8 @@ class GMatcher(nn.Module):
         )
         gnn = AttentionalGNN(
             cfg.descriptor_dim, layer_names, cfg.num_heads,
-            cfg.use_layernorm, dtype=attn_dtype, name="gnn",
+            cfg.use_layernorm, dtype=attn_dtype,
+            attn_impl=cfg.attention_impl, name="gnn",
         )
 
         # Zero out pruned/padded tokens before anything runs: pad slots

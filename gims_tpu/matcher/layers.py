@@ -145,6 +145,7 @@ class MultiHeadedAttention(nn.Module):
     num_heads: int
     d_model: int
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, query, key, value, key_mask):
@@ -158,7 +159,7 @@ class MultiHeadedAttention(nn.Module):
         q = q.reshape(b, n, dim, self.num_heads).transpose(0, 1, 3, 2)
         k = k.reshape(b, m, dim, self.num_heads).transpose(0, 1, 3, 2)
         v = v.reshape(b, m, dim, self.num_heads).transpose(0, 1, 3, 2)
-        x = masked_attention(q, k, v, key_mask)  # (B, N, H, D)
+        x = masked_attention(q, k, v, key_mask, impl=self.attn_impl)
         x = x.transpose(0, 1, 3, 2).reshape(b, n, self.d_model)
         return nn.Dense(self.d_model, dtype=self.dtype, name="merge")(x)
 
@@ -170,11 +171,13 @@ class AttentionalPropagation(nn.Module):
     num_heads: int
     use_layernorm: bool = False
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, source, x_mask, source_mask, train: bool):
         message = MultiHeadedAttention(
-            self.num_heads, self.feature_dim, dtype=self.dtype, name="attn"
+            self.num_heads, self.feature_dim, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn"
         )(x, source, source, source_mask)
         cat = jnp.concatenate([x, message], axis=-1)
         return MLP1d(
@@ -194,13 +197,14 @@ class AttentionalGNN(nn.Module):
     num_heads: int = 4
     use_layernorm: bool = False
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, desc0, desc1, mask0, mask1, train: bool):
         for i, name in enumerate(self.layer_names):
             layer = AttentionalPropagation(
                 self.feature_dim, self.num_heads, self.use_layernorm,
-                dtype=self.dtype, name=f"layer_{i}",
+                dtype=self.dtype, attn_impl=self.attn_impl, name=f"layer_{i}",
             )
             if name == "cross":
                 src0, src1 = desc1, desc0

@@ -30,6 +30,34 @@ def test_flash_equals_direct(rng):
     )
 
 
+@pytest.mark.parametrize("n,m", [(64, 64), (100, 260)])
+def test_pallas_attention_equals_direct(rng, n, m):
+    """Interpret-mode run of the fused TPU kernel vs the direct path,
+    including non-block-multiple shapes (pad/unpad) and bf16 inputs."""
+    from gims_tpu.matcher.pallas_attention import masked_attention_pallas
+
+    b, h, d = 2, 4, 16
+    q = jnp.asarray(rng.randn(b, n, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, m, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, m, h, d).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, m) < 0.7)
+    out_d = masked_attention_direct(q, k, v, mask)
+    out_p = masked_attention_pallas(q, k, v, mask, block_q=64, block_k=64,
+                                    interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_p), rtol=2e-5, atol=2e-5
+    )
+
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out_db = masked_attention_direct(qb, kb, vb, mask)
+    out_pb = masked_attention_pallas(qb, kb, vb, mask, block_q=64,
+                                     block_k=64, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_db, np.float32), np.asarray(out_pb, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
 def test_masked_batchnorm_vs_torch(rng):
     import torch
 
