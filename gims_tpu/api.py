@@ -110,6 +110,10 @@ class Matching:
                 fe_cfg = dataclasses.replace(
                     fe_cfg, descriptor_source=config["descriptor_source"]
                 )
+            if config.get("detector"):
+                fe_cfg = dataclasses.replace(
+                    fe_cfg, detector=config["detector"]
+                )
         self.frontend = frontend or FeatureFrontend(fe_cfg)
         self.timings = {}
 

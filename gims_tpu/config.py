@@ -91,6 +91,11 @@ class FrontendConfig:
     # "dense" = convolutional CAR-HyNet over pyramid levels + bilinear
     # descriptor sampling (frontend/dense.py) — no per-keypoint patch warp.
     descriptor_source: str = "carhynet"
+    # "host" = OpenCV SIFT detection on the CPU (reference parity,
+    # reference: utils/common.py:851-862). "device" = dense DoG-extrema
+    # detection on the TPU (frontend/detect_device.py) — the speed path
+    # when host cores are the bottleneck.
+    detector: str = "host"
 
 
 @dataclasses.dataclass(frozen=True)

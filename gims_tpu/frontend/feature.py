@@ -131,6 +131,15 @@ class FeatureFrontend:
             kp, host_desc = detect_and_describe(
                 image_bgr, self.cfg, max_keypoints, train_topup, rng
             )
+        elif self.cfg.detector == "device" and not train_topup:
+            from gims_tpu.frontend.detect_device import detect_device
+
+            mk = max_keypoints if max_keypoints and max_keypoints > 0 \
+                else (bucket or 12288)
+            kp, _padded = detect_device(
+                image_bgr, mk, self.cfg.contrast_threshold,
+                self.cfg.edge_threshold,
+            )
         else:
             kp = detect(image_bgr, self.cfg, max_keypoints, train_topup, rng)
         n = len(kp)
