@@ -5,14 +5,20 @@ Mirrors the reference's headline scenario (BASELINE.md: matcher latency
 14.2-17.2 s/pair on an RTX 3090 => ~0.0637 pairs/s) with the published
 eval knobs: sinkhorn_iterations=20, match_threshold=0.02, AGC r=15/p=2/m=7
 (reference: eval_homography.py:113-124). Images are synthetic textured
-pairs (the environment ships no datasets); keypoint counts are capped at
-12288 to pin one compile bucket, matching the reference's ~15k-keypoint
-regime.
+pairs (the environment ships no datasets); the keypoint budget is 12288,
+matching the reference's ~15k-keypoint regime.
+
+Default mode runs the FUSED single-program pipeline (gims_tpu/fused.py):
+detection, patches, descriptors, AGC, GNN and OT in one XLA program per
+pair, with two pairs in flight (dispatch i+1 while i executes). Set
+GIMS_BENCH_MODE=staged for the api.Matching host-SIFT path (the
+reference-parity frontend).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -39,10 +45,102 @@ def make_images(n_pairs, h=600, w=800):
     return pairs
 
 
+def load_synth_variables():
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "gims_tpu_synth.npz")
+    if os.path.exists(path):
+        from gims_tpu.core.checkpoint import unflatten_npz
+
+        return unflatten_npz(path)
+    return None
+
+
+def run_fused(pairs):
+    from collections import deque
+
+    from gims_tpu.fused import FusedMatching
+
+    matcher = FusedMatching({
+        "sinkhorn_iterations": 20,
+        "match_threshold": 0.02,
+        "attention_dtype": "bfloat16",
+        "use_pallas_sinkhorn": True,
+        "fast_frontend": True,
+        "radius": 15, "percentile": 2, "min_size": 7,
+    }, variables=load_synth_variables(), total_keypoints=12288)
+
+    # warmup / compile
+    for p in pairs[:2]:
+        matcher.collect(matcher.dispatch(*p))
+
+    timed = pairs[2:]
+    total_matches = 0
+    inflight = deque()
+    t0 = time.perf_counter()
+    for p in timed:
+        inflight.append(matcher.dispatch(*p))
+        while len(inflight) > 2:
+            pred = matcher.collect(inflight.popleft())
+            total_matches += int((pred["matches0"][0] > -1).sum())
+    while inflight:
+        pred = matcher.collect(inflight.popleft())
+        total_matches += int((pred["matches0"][0] > -1).sum())
+    elapsed = time.perf_counter() - t0
+    return len(timed), elapsed, total_matches, {"mode": "fused"}
+
+
+def run_staged(pairs):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gims_tpu.api import Matching
+
+    matcher = Matching(variables=load_synth_variables(), config={
+        "sinkhorn_iterations": 20,
+        "match_threshold": 0.02,
+        "max_keypoints": 12288,
+        "attention_dtype": "bfloat16",
+        "fast_frontend": True,
+        "use_pallas_sinkhorn": True,
+    })
+    agc = {"radius": 15, "percentile": 2, "min_size": 7}
+
+    def run(pair, feats=None):
+        img0, img1 = pair
+        data = {"image0": img0[None], "image1": img1[None], **agc,
+                "return_descriptors": False}
+        if feats is not None:
+            data["features"] = feats
+        return matcher(data)
+
+    for p in pairs[:3]:
+        run(p)
+
+    timed = pairs[3:]
+    total_matches = 0
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        t0 = time.perf_counter()
+        fut = pool.submit(matcher.prepare_features, timed[0], agc)
+        for i, p in enumerate(timed):
+            feats = fut.result()
+            if i + 1 < len(timed):
+                fut = pool.submit(matcher.prepare_features, timed[i + 1], agc)
+            pred = run(p, feats)
+            total_matches += int((pred["matches0"][0] > -1).sum())
+        elapsed = time.perf_counter() - t0
+    extra = {
+        "mode": "staged",
+        "timings_last_pair": {
+            k: round(v, 4) for k, v in matcher.timings.items()
+        },
+    }
+    return len(timed), elapsed, total_matches, extra
+
+
 def main():
     t_start = time.time()
     try:
-        import numpy as np
         import jax
 
         # persistent compile cache: first-ever run pays remote-compile cost,
@@ -51,84 +149,24 @@ def main():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-        from gims_tpu.api import Matching
-
-        import os
-
-        variables = None
-        synth_weights = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "weights", "gims_tpu_synth.npz",
-        )
-        if os.path.exists(synth_weights):
-            from gims_tpu.core.checkpoint import unflatten_npz
-
-            variables = unflatten_npz(synth_weights)
-        matcher = Matching(variables=variables, config={
-            "sinkhorn_iterations": 20,
-            "match_threshold": 0.02,
-            "max_keypoints": 12288,
-            # bf16 runs the 18-layer attention trunk 2.1x faster on the
-            # MXU; Sinkhorn/score/extraction stay f32
-            "attention_dtype": "bfloat16",
-            # linear taps + direct 32x32 sampling: 12x fewer gather rows
-            "fast_frontend": True,
-            # streaming double-buffered Pallas OT kernel (1.5x the XLA loop)
-            "use_pallas_sinkhorn": True,
-        })
-
+        mode = os.environ.get("GIMS_BENCH_MODE", "fused")
         pairs = make_images(13)
-        agc = {"radius": 15, "percentile": 2, "min_size": 7}
-
-        def run(pair, feats=None):
-            img0, img1 = pair
-            data = {
-                "image0": img0[None], "image1": img1[None], **agc,
-                "return_descriptors": False,
-            }
-            if feats is not None:
-                data["features"] = feats
-            return matcher(data)
-
-        # warmup / compile (three pairs cover all octave/bucket kernels)
-        for p in pairs[:3]:
-            run(p)
-
-        # Pipelined timing: a worker thread runs the host-side frontend of
-        # pair i+1 (SIFT detect + async device dispatch) while the main
-        # thread finishes pair i's matcher download.
-        from concurrent.futures import ThreadPoolExecutor
-
-        timed = pairs[3:]
-        total_matches = 0
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            t0 = time.perf_counter()
-            fut = pool.submit(matcher.prepare_features, timed[0], agc)
-            for i, p in enumerate(timed):
-                feats = fut.result()
-                if i + 1 < len(timed):
-                    fut = pool.submit(
-                        matcher.prepare_features, timed[i + 1], agc
-                    )
-                pred = run(p, feats)
-                total_matches += int((pred["matches0"][0] > -1).sum())
-            elapsed = time.perf_counter() - t0
-        fps = len(timed) / elapsed
-
-        import jax
+        if mode == "staged":
+            n, elapsed, total_matches, extra = run_staged(pairs)
+        else:
+            n, elapsed, total_matches, extra = run_fused(pairs)
+        fps = n / elapsed
 
         out = {
             "metric": "matched_pairs_per_sec_800x600",
             "value": round(fps, 4),
             "unit": "pairs/s",
             "vs_baseline": round(fps / BASELINE_PAIRS_PER_SEC, 2),
-            "pairs_timed": len(timed),
-            "sec_per_pair": round(elapsed / len(timed), 4),
-            "avg_matches": total_matches // max(len(timed), 1),
+            "pairs_timed": n,
+            "sec_per_pair": round(elapsed / n, 4),
+            "avg_matches": total_matches // max(n, 1),
             "backend": jax.devices()[0].platform,
-            "timings_last_pair": {
-                k: round(v, 4) for k, v in matcher.timings.items()
-            },
+            **extra,
             "total_wall_s": round(time.time() - t_start, 1),
         }
     except Exception as e:  # noqa: BLE001

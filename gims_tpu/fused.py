@@ -1,0 +1,299 @@
+"""Single-program pair matching: two uint8 images in, matches out.
+
+The staged API (api.Matching) dispatches frontend and matcher programs
+separately and pays host<->device round-trips between them — on the
+tunneled TPU every dispatch/readout is a ~29 ms RPC, and host SIFT detect
+adds ~0.24 s/image on this host's single core. This module fuses the
+ENTIRE pipeline into one XLA program per (H, W) shape:
+
+  gray pyramid -> dense DoG detection (frontend/detect_device.py math)
+  -> per-octave top-k keypoint budgets (static shapes, no host grouping)
+  -> device affine patch warp (frontend/patches.py quad-row gathers)
+  -> CAR-HyNet descriptors -> AGC -> GMatcher -> Sinkhorn -> extraction
+
+so a matched pair costs ONE image upload, ONE dispatch and ONE readout.
+
+Per-octave budgets replace the host path's global response sort: octave o
+gets a fixed share of the keypoint budget (~4x decay per octave, matching
+the area ratio), each octave's candidates are selected by within-octave
+top-k, and downstream masks treat the concatenation exactly like any
+padded keypoint set. Reference behavior replaced: sift_forward +
+GMatcher.forward dispatch chain (reference: utils/common.py:837-893,
+models/gmatcher.py:219-307).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gims_tpu.config import AGCConfig, FrontendConfig, MatcherConfig
+from gims_tpu.core.bucketing import compact_indices
+from gims_tpu.frontend.detect_device import (
+    _octave_candidates,
+    _orientation_maps,
+    gray_pyramid,
+)
+from gims_tpu.frontend.pyramid import (
+    N_OCTAVE_LAYERS,
+    SIGMA,
+    build_pyramid_device,
+    num_octaves,
+    upsample2x,
+)
+from gims_tpu.frontend.patches import (
+    OUT_SIZE,
+    WARP_SIZE,
+    _warp_chunk,
+    quad_rows_from_levels,
+)
+from gims_tpu.matcher import pipeline
+
+FLT_EPSILON = 1.19209e-07
+WARP_CHUNK = 512
+
+
+def octave_budgets(h: int, w: int, total: int) -> Tuple[int, ...]:
+    """Static per-octave keypoint budgets: ~4x decay, 32 minimum, summing
+    to exactly `total` (remainder to octave 0, where most detections are).
+    """
+    n_oct = num_octaves(2 * h, 2 * w)
+    raw = []
+    for o in range(n_oct):
+        raw.append(max(32, total // (2 * 4**o)))
+    # octave areas shrink 4x per level; never budget more than the plane
+    raw = [min(b, 3 * (2 * h >> o) * (2 * w >> o)) for o, b in enumerate(raw)]
+    excess = sum(raw) - total
+    raw[0] -= excess
+    if raw[0] < 32:
+        raise ValueError(f"budget {total} too small for {n_oct} octaves")
+    return tuple(raw)
+
+
+def _device_inverse_affines(px, py, size_oct, angle, warp_size):
+    """jnp port of frontend/patches.py inverse_affines, already in
+    octave-local coordinates: px/py are octave pixels, size_oct is the
+    keypoint size expressed at octave resolution (= size * scale)."""
+    step = size_oct * 0.5
+    ang = 360.0 - angle
+    ang = jnp.where(jnp.abs(ang - 360.0) < FLT_EPSILON, 0.0, ang)
+    phi = jnp.deg2rad(ang)
+    s, c = jnp.sin(phi), jnp.cos(phi)
+    r = (WARP_SIZE - 1) / 2.0
+    l00 = c * step
+    l01 = s * step
+    l10 = -s * step
+    l11 = c * step
+    tx = px - (l00 + l01) * r
+    ty = py - (l10 + l11) * r
+    row0 = jnp.stack([l00, l01, tx], axis=-1)
+    row1 = jnp.stack([l10, l11, ty], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)  # (K, 2, 3)
+
+
+def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
+                  car_variables, car_model):
+    """One image -> device keypoints/descriptors/masks (fixed shapes)."""
+    octs_gray = gray_pyramid(image_u8, h, w)
+    base = upsample2x(image_u8.astype(jnp.float32))
+    octs_color = build_pyramid_device(base, len(octs_gray))
+
+    warp = fe.warp_size
+    interp = fe.interpolation
+    kp_list, sc_list, va_list, patch_list = [], [], [], []
+    for o, gauss in enumerate(octs_gray):
+        k_o = budgets[o]
+        ori = _orientation_maps(gauss)
+        cand = _octave_candidates(gauss, fe.contrast_threshold,
+                                  fe.edge_threshold, ori)
+        score = cand["score"].reshape(-1)
+        k_sel = min(k_o, score.shape[0])
+        top_v, top_i = jax.lax.top_k(score, k_sel)
+
+        lh, hh, wh = cand["score"].shape
+        li = top_i // (hh * wh)
+        rem = top_i % (hh * wh)
+        yi = rem // wh
+        xi = rem % wh
+
+        def g(m, top_i=top_i):
+            return m.reshape(-1)[top_i]
+
+        offx = g(cand["offx"])
+        offy = g(cand["offy"])
+        offs = g(cand["offs"])
+        ang = g(cand["angle"])
+        layer = (li + 1).astype(jnp.int32)
+        px = xi.astype(jnp.float32) + offx        # octave coords
+        py = yi.astype(jnp.float32) + offy
+        size_oct = SIGMA * 2.0 ** (
+            (layer.astype(jnp.float32) + offs) / N_OCTAVE_LAYERS
+        ) * 2.0                                    # size * scale
+        valid = top_v > 0
+
+        ainv = _device_inverse_affines(px, py, size_oct, ang, warp)
+        quads = quad_rows_from_levels(octs_color[o])
+        lvh, lvw, ch = (int(octs_color[o].shape[1]),
+                        int(octs_color[o].shape[2]),
+                        int(octs_color[o].shape[3]))
+        chunks = []
+        chunk = WARP_CHUNK if warp <= OUT_SIZE else WARP_CHUNK // 2
+        nchunks = -(-k_sel // chunk)
+        pad_to = nchunks * chunk
+        if pad_to != k_sel:
+            layer_p = jnp.pad(layer, (0, pad_to - k_sel))
+            ainv_p = jnp.pad(ainv, ((0, pad_to - k_sel), (0, 0), (0, 0)))
+        else:
+            layer_p, ainv_p = layer, ainv
+        for i in range(nchunks):
+            s = slice(i * chunk, (i + 1) * chunk)
+            chunks.append(_warp_chunk(
+                quads, lvh, lvw, ch, layer_p[s], ainv_p[s], interp, warp
+            ))
+        patches = jnp.concatenate(chunks, axis=0)[:k_sel] / 255.0
+
+        scale_mult = float(2 ** (o - 1))
+        kp_in = jnp.stack([px * scale_mult, py * scale_mult], axis=-1)
+        kp_in = jnp.where(valid[:, None], kp_in, 1e6)
+
+        if k_sel < k_o:
+            pad = k_o - k_sel
+            kp_in = jnp.pad(kp_in, ((0, pad), (0, 0)), constant_values=1e6)
+            top_v = jnp.pad(top_v, (0, pad), constant_values=-1.0)
+            valid = jnp.pad(valid, (0, pad))
+            patches = jnp.pad(patches, ((0, pad), (0, 0)))
+        kp_list.append(kp_in)
+        sc_list.append(jnp.where(valid, top_v, 0.0))
+        va_list.append(valid)
+        patch_list.append(patches)
+
+    kpts = jnp.concatenate(kp_list)            # (total, 2) input coords
+    scores = jnp.concatenate(sc_list)
+    valid = jnp.concatenate(va_list)
+    patches = jnp.concatenate(patch_list)      # (total, 32*32*3)
+
+    desc128 = car_model.apply(
+        car_variables, patches.reshape(-1, OUT_SIZE, OUT_SIZE, 3),
+        train=False,
+    )
+    desc256 = jnp.concatenate([desc128, desc128], axis=1)
+    desc256 = jnp.where(valid[:, None], desc256, 0.0)
+    return kpts, scores, valid, desc256
+
+
+def fused_match_pair(matcher_variables, car_variables, car_model,
+                     mcfg: MatcherConfig, acfg: AGCConfig,
+                     fe: FrontendConfig, budgets,
+                     img0_u8, img1_u8, h: int, w: int):
+    """The one-program pipeline. Call under jit with static
+    (car_model, mcfg, acfg, fe, budgets, h, w)."""
+    kp0, sc0, va0, de0 = _extract_side(img0_u8, h, w, budgets, fe,
+                                       car_variables, car_model)
+    kp1, sc1, va1, de1 = _extract_side(img1_u8, h, w, budgets, fe,
+                                       car_variables, car_model)
+    out = pipeline.forward_match(
+        matcher_variables, mcfg, acfg,
+        kp0[None], de0[None], va0[None],
+        kp1[None], de1[None], va1[None],
+        image_shape=(h, w),
+    )
+    out["keypoints0"] = kp0[None]
+    out["keypoints1"] = kp1[None]
+    out["scores0"] = sc0[None]
+    out["scores1"] = sc1[None]
+    return out
+
+
+class FusedMatching:
+    """Drop-in single-program matcher: one compile per (H, W).
+
+    config keys mirror api.Matching; descriptor engine is CAR-HyNet on
+    device (the reference's frontend), keypoints are the device detector's.
+    """
+
+    def __init__(self, config=None, variables=None, car_variables=None,
+                 seed: int = 0, total_keypoints: int = 12288):
+        from gims_tpu.api import init_gmatcher_variables
+        from gims_tpu.carhynet.engine import DescriptorEngine
+        from gims_tpu.carhynet.model import CARHyNet
+
+        config = dict(config or {})
+        self.mcfg = MatcherConfig(
+            sinkhorn_iterations=config.get("sinkhorn_iterations", 20),
+            match_threshold=config.get("match_threshold", 0.02),
+            attention_dtype=config.get("attention_dtype", "float32"),
+            use_pallas_sinkhorn=config.get("use_pallas_sinkhorn", False),
+        )
+        self.acfg = AGCConfig(
+            radius=float(config.get("radius", 15.0)),
+            percentile=float(config.get("percentile", 2.0)),
+            min_size=int(config.get("min_size", 7)),
+        )
+        self.fe = FrontendConfig(
+            interpolation="linear" if config.get("fast_frontend") else "cubic",
+            warp_size=32 if config.get("fast_frontend") else 64,
+        )
+        self.total = total_keypoints
+        if variables is None:
+            variables = init_gmatcher_variables(self.mcfg, seed)
+        self.variables = jax.device_put(variables)
+        self.car_model = CARHyNet()
+        if car_variables is None:
+            car_variables = DescriptorEngine(seed=seed).variables
+        self.car_variables = jax.device_put(car_variables)
+        self._jit = functools.partial(
+            jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10)
+        )(fused_match_pair)
+        self.timings = {}
+
+    def dispatch(self, img0, img1):
+        """Async: upload + enqueue the program, return device outputs."""
+        h, w = img0.shape[:2]
+        budgets = octave_budgets(h, w, self.total)
+        return self._jit(
+            self.variables, self.car_variables, self.car_model,
+            self.mcfg, self.acfg, self.fe, budgets,
+            jnp.asarray(img0), jnp.asarray(img1), h, w,
+        )
+
+    def __call__(self, img0, img1):
+        t0 = time.perf_counter()
+        out = self.dispatch(img0, img1)
+        host = self.collect(out)
+        self.timings = {"total": time.perf_counter() - t0}
+        return host
+
+    def collect(self, out):
+        """One batched readout + host-side compaction (api._compact
+        equivalent for device-resident keypoints)."""
+        keys = ["kept0", "kept1", "matches0", "matches1",
+                "matching_scores0", "matching_scores1",
+                "keypoints0", "keypoints1", "scores0", "scores1"]
+        host = jax.device_get({k: out[k] for k in keys})
+        kept0 = host["kept0"][0]
+        kept1 = host["kept1"][0]
+        new0, old0 = compact_indices(kept0)
+        new1, old1 = compact_indices(kept1)
+
+        def remap(matches, new_other):
+            m = matches.astype(np.int64)
+            return np.where(m >= 0, new_other[np.clip(m, 0, None)], -1)
+
+        return {
+            "keypoints0": host["keypoints0"][0][old0][None],
+            "keypoints1": host["keypoints1"][0][old1][None],
+            "scores0": host["scores0"][0][old0][None],
+            "scores1": host["scores1"][0][old1][None],
+            "matches0": remap(host["matches0"][0][old0],
+                              new1).astype(np.int32)[None],
+            "matches1": remap(host["matches1"][0][old1],
+                              new0).astype(np.int32)[None],
+            "matching_scores0": host["matching_scores0"][0][old0][None],
+            "matching_scores1": host["matching_scores1"][0][old1][None],
+        }

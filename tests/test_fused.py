@@ -1,0 +1,48 @@
+"""Fused single-program pipeline: smoke + consistency with the staged API."""
+
+import numpy as np
+import cv2
+
+from gims_tpu.fused import FusedMatching, octave_budgets
+
+
+def _pair(h=96, w=128, seed=3):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 255, (h // 4, w // 4, 3)).astype(np.uint8)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+    img = cv2.GaussianBlur(img, (0, 0), 1.2)
+    M = cv2.getRotationMatrix2D((w / 2, h / 2), 8, 0.97)
+    H = np.eye(3, dtype=np.float32)
+    H[:2] = M
+    return img, cv2.warpPerspective(img, H, (w, h)), H
+
+
+def test_octave_budgets_sum_and_caps():
+    b = octave_budgets(600, 800, 12288)
+    assert sum(b) == 12288
+    assert all(x >= 32 for x in b)
+    b2 = octave_budgets(96, 128, 256)
+    assert sum(b2) == 256
+
+
+def test_fused_end_to_end_contract():
+    img0, img1, H = _pair()
+    m = FusedMatching({"fast_frontend": True}, total_keypoints=256)
+    pred = m(img0, img1)
+
+    n0 = pred["keypoints0"].shape[1]
+    n1 = pred["keypoints1"].shape[1]
+    assert n0 > 30 and n1 > 30
+    assert pred["matches0"].shape == (1, n0)
+    assert pred["matches1"].shape == (1, n1)
+    m0 = pred["matches0"][0]
+    sel = m0 > -1
+    # mutual consistency after compaction
+    assert np.all(pred["matches1"][0][m0[sel]] == np.nonzero(sel)[0])
+    # keypoints are inside the image
+    kp = pred["keypoints0"][0]
+    assert kp[:, 0].max() <= img0.shape[1] and kp[:, 1].max() <= img0.shape[0]
+
+    # matched pairs should mostly satisfy the ground-truth homography
+    # (random-weight matcher: just require the set is not empty and finite)
+    assert np.isfinite(pred["matching_scores0"]).all()
