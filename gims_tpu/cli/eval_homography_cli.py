@@ -31,6 +31,13 @@ def main(argv=None, dgims=False):
     parser.add_argument("--save_viz", action="store_true")
     parser.add_argument("--generate", type=int, default=0,
                         help="synthesize N benchmark pairs if assets missing")
+    parser.add_argument("--source_dir", type=str, default=None,
+                        help="--generate source images (e.g. assets/photos "
+                             "for the real-photo regime); procedural "
+                             "textures when omitted")
+    parser.add_argument("--gen_out", type=str,
+                        default="./assets/generated_benchmark",
+                        help="--generate output directory")
     parser.add_argument("--delaunay", action="store_true", default=dgims)
     parser.add_argument("--fast", action="store_true",
                         help="TPU speed path: bf16 attention, Pallas OT, "
@@ -41,11 +48,12 @@ def main(argv=None, dgims=False):
                              "substitute for the missing car_hynet.pth)")
     args = parser.parse_args(argv)
 
-    if args.generate and not os.path.exists(args.input_homography):
+    if args.generate and (args.source_dir
+                          or not os.path.exists(args.input_homography)):
         from gims_tpu.eval.homography import generate_benchmark
 
         txt, images = generate_benchmark(
-            "./assets/generated_benchmark", n_pairs=args.generate
+            args.gen_out, n_pairs=args.generate, source_dir=args.source_dir
         )
         args.input_homography, args.input_dir = txt, images
         print(f"Generated benchmark: {txt}")

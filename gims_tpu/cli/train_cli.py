@@ -51,6 +51,13 @@ def main(argv=None):
                         help="'corner' = reference loss parity (negatives "
                              "carry no gradient); 'dustbin' = corrected "
                              "negative supervision")
+    parser.add_argument("--cache_features", action="store_true",
+                        help="compute each batch's host features once and "
+                             "reuse across epochs (single-core hosts: ~6x "
+                             "more steps/hour; freezes augmentation)")
+    parser.add_argument("--photo_dir", type=str, default=None,
+                        help="mix ImageFolderPairDataset scenes from this "
+                             "folder into the synthetic train set")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config_path if os.path.exists(args.config_path)
@@ -74,10 +81,24 @@ def main(argv=None):
     )
     from gims_tpu.train.loop import train
 
-    train(cfg, save_dir=save_dir, limit=args.limit,
+    train_dataset = None
+    if args.photo_dir:
+        from gims_tpu.train import data as data_mod
+
+        n = args.limit if args.limit > 0 else 1000
+        train_dataset = data_mod.MixedPairDataset([
+            data_mod.SyntheticPairDataset(cfg.dataset, length=n // 2, seed=0),
+            data_mod.ImageFolderPairDataset(
+                cfg.dataset, args.photo_dir, length=n - n // 2, seed=1
+            ),
+        ])
+
+    train(cfg, train_dataset=train_dataset, save_dir=save_dir,
+          limit=args.limit,
           n_devices=args.devices, carhynet_weights=args.carhynet_weights,
           max_steps=args.max_steps, fast_frontend=args.fast,
-          restore_path=args.restore_path)
+          restore_path=args.restore_path,
+          cache_features=args.cache_features)
 
 
 if __name__ == "__main__":

@@ -184,6 +184,65 @@ class CocoPairDataset:
         return make_pair(image, self.cfg, self.rng)
 
 
+class ImageFolderPairDataset:
+    """Homography pairs from a small folder of source images.
+
+    Each index picks a source image (cycling) and a random crop/zoom so a
+    handful of photos yields many distinct scenes — the in-env stand-in
+    for COCO (this image ships no datasets; assets/photos holds the few
+    photographic images available)."""
+
+    def __init__(self, cfg: DatasetConfig, folder, length=1000, seed=0):
+        self.cfg = cfg
+        self.paths = sorted(
+            p for p in os.listdir(folder)
+            if p.lower().endswith((".jpg", ".jpeg", ".png"))
+        )
+        self.folder = folder
+        self.length = length
+        self.seed = seed
+        self.rng = np.random.RandomState(seed)
+        self._cache = {}
+
+    def __len__(self):
+        return self.length
+
+    def _load(self, name):
+        if name not in self._cache:
+            self._cache[name] = cv2.imread(os.path.join(self.folder, name))
+        return self._cache[name]
+
+    def __getitem__(self, index):
+        rng = np.random.RandomState(self.seed * 99991 + index)
+        img = self._load(self.paths[index % len(self.paths)])
+        h, w = img.shape[:2]
+        # random crop of 55-100% area at a random position, then resize
+        f = rng.uniform(0.55, 1.0)
+        ch, cw = max(int(h * f), 64), max(int(w * f), 64)
+        y0 = rng.randint(0, h - ch + 1)
+        x0 = rng.randint(0, w - cw + 1)
+        crop = img[y0:y0 + ch, x0:x0 + cw]
+        crop = cv2.resize(crop, (self.cfg.image_width, self.cfg.image_height),
+                          interpolation=cv2.INTER_AREA)
+        return make_pair(crop, self.cfg, self.rng)
+
+
+class MixedPairDataset:
+    """Round-robin mix of several pair datasets."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.length = sum(len(d) for d in self.datasets)
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index):
+        k = index % len(self.datasets)
+        d = self.datasets[k]
+        return d[(index // len(self.datasets)) % len(d)]
+
+
 class SyntheticPairDataset:
     """Procedural textured images — keeps the train loop runnable without
     any dataset on disk (CI, bare TPU hosts)."""

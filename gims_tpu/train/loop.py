@@ -159,7 +159,8 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
           save_dir: Optional[str] = None, limit: int = -1,
           n_devices: int = 1, carhynet_weights: Optional[str] = None,
           max_steps: int = -1, fast_frontend: bool = False,
-          restore_path: Optional[str] = None, log_fn=print):
+          restore_path: Optional[str] = None, cache_features: bool = False,
+          log_fn=print):
     """Main loop. Returns the final TrainState."""
     tcfg = cfg.train
     if fast_frontend:
@@ -248,7 +249,19 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
 
     fused_sift = cfg.frontend.descriptor_source == "sift"
 
+    # cache_features: each batch's host work (pair synthesis + SIFT) runs
+    # ONCE and the device arrays are reused every epoch. On this host's
+    # single core the raw path is data-bound (~0.45 s/step vs 0.073 s of
+    # device step time at 2048 kpts), so caching trains ~6x more steps per
+    # wall-hour. Tradeoff: photometric aug and topup noise are frozen
+    # after the first epoch. The arrays live in HBM (~1 MB/batch at 2048
+    # kpts — a thousand cached batches is ~1 GB).
+    batch_cache = {} if cache_features else None
+
     def make_batch(idxs):
+        key = tuple(int(i) for i in idxs) if cache_features else None
+        if batch_cache is not None and key in batch_cache:
+            return batch_cache[key], 0.0, 0.0
         t1 = time.time()
         pairs = [train_dataset[int(i)] for i in idxs]
         t2 = time.time()
@@ -258,11 +271,21 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
         else:
             batch = build_batch(frontend, pairs, tcfg.max_keypoints, rng,
                                 pool=side_pool)
+        if batch_cache is not None:
+            batch_cache[key] = batch
         return batch, t2 - t1, time.time() - t2
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         log_fn(header)
-        rng.shuffle(order)
+        if cache_features:
+            # fixed batch composition (the cache key), shuffled batch ORDER:
+            # regrouping would defeat the cache
+            groups = order[: num_batches * bsz].reshape(num_batches, -1)[
+                rng.permutation(num_batches)
+            ]
+            order = groups.reshape(-1)
+        else:
+            rng.shuffle(order)
         mloss = np.zeros(3)
         t5 = time.time()
         fut = prefetch.submit(make_batch, order[:bsz])

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Export an orbax training checkpoint to the flat-npz weights format that
+Matching(weights_path=...) and bench.py load.
+
+Usage: python scripts/export_checkpoint.py output/train/sift_synth/weights/minloss weights/gims_tpu_sift.npz [--raw]
+
+Prefers the EMA weights when present (like the reference loader,
+models/gmatcher.py:208-217); --raw forces the raw params.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("out")
+    ap.add_argument("--raw", action="store_true")
+    ap.add_argument("--config", default=None,
+                    help="the YAML the run was trained with (the restore "
+                         "template must match: use_ema, optimizer groups)")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    from gims_tpu.config import load_config
+    from gims_tpu.api import init_gmatcher_variables
+    from gims_tpu.core import checkpoint as ckpt_io
+    from gims_tpu.train import step as step_mod
+
+    cfg = load_config(args.config)
+    variables = init_gmatcher_variables(cfg.matcher)
+    state, _ = step_mod.create_train_state(cfg, variables, 100)
+    from gims_tpu.train.loop import _ckpt_payload
+
+    like = _ckpt_payload(state, 0, 0)
+    loaded = ckpt_io.load_orbax(args.ckpt, like)
+    ema = loaded.get("ema")
+    use_ema = (not args.raw) and isinstance(ema, dict) and ema
+    params = ema if use_ema else loaded["params"]
+    ckpt_io.save_npz(args.out, {
+        "params": params, "batch_stats": loaded["batch_stats"],
+    })
+    print(f"saved {args.out} (epoch {int(loaded['epoch'])}, "
+          f"iter {int(loaded['iter'])}, ema={bool(use_ema)})")
+
+
+if __name__ == "__main__":
+    main()

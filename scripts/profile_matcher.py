@@ -178,6 +178,30 @@ def main():
     report["trunk_gnn_ot"] = best
     print(f"trunk (gnn+ot)    {best*1e3:8.1f} ms  {ts}")
 
+    # --- GNN trunk only (Sinkhorn iterations = 0) ---
+    mcfg0 = MatcherConfig(
+        sinkhorn_iterations=0, match_threshold=0.02,
+        attention_dtype="bfloat16", use_pallas_sinkhorn=False,
+    )
+
+    @jax.jit
+    def gnn_only(kp, de, adj, kept):
+        k0n = normalize_keypoints(kp[:1], 600, 800, mcfg0.normalization)
+        k1n = normalize_keypoints(kp[1:], 600, 800, mcfg0.normalization)
+        out = GMatcher(mcfg0).apply(
+            variables, k0n, de[:1], adj[:1], kept[:1],
+            k1n, de[1:], adj[1:], kept[1:], train=False,
+        )
+        return out["Z"]
+
+    gnn_only(kp, de, adj_dev, kept_dev)
+    best, ts = timeit(lambda: gnn_only(kp, de, adj_dev, kept_dev),
+                      args.repeats)
+    report["gnn_no_ot"] = best
+    print(f"gnn (no OT)       {best*1e3:8.1f} ms  {ts}")
+
+    # --- attention alone estimate: see scripts/bench_attention.py ---
+
     print({k: round(v * 1e3, 1) for k, v in report.items()})
 
 
