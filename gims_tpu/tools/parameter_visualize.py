@@ -3,9 +3,15 @@
 The reference ships a password-gated Dash/plotly web dashboard over the
 parameter_search record files (reference: tools/parameter_visualize.py —
 heatmaps per fixed r/t/m, 3-D scatter of correct matches and time, line
-plots). Dash isn't available in this environment, so this module renders
-the same views with matplotlib into a single static HTML report, and also
-offers a lightweight stdlib HTTP server to browse it.
+plots, ~20 interactive callbacks). Dash isn't available in this
+environment, so the default output here is a SELF-CONTAINED interactive
+HTML app: the sweep records are embedded as JSON and rendered
+client-side (canvas heatmap with scene/metric/fix-axis/fix-value
+controls, hover tooltips, per-axis summary lines, a sortable best-N
+table, optional password gate) — the Dash callbacks become vanilla-JS
+event handlers, no server round-trips needed. `--static` keeps the
+matplotlib snapshot report; `--serve` hosts either via the stdlib HTTP
+server.
 
 Input: record.xlsx / record.txt files with rows [r, t, m, correct,
 total, time] (tools/parameter_search.py output; same format as the
@@ -143,6 +149,178 @@ def render_report(record_paths, out_html="parameter_report.html"):
     return out_html
 
 
+_APP_JS = r"""
+const DATA = __DATA__;
+const PASSWORD = __PASSWORD__;
+const AXES = ['r', 't', 'm'];
+let state = {scene: Object.keys(DATA)[0], metric: 3, fix: 2, fixVal: null};
+
+function uniq(rows, col) {
+  return [...new Set(rows.map(r => r[col]))].sort((a, b) => a - b);
+}
+function colormap(v) { // viridis-ish 5-stop ramp
+  const stops = [[68,1,84],[59,82,139],[33,145,140],[94,201,98],[253,231,37]];
+  const t = Math.max(0, Math.min(1, v)) * (stops.length - 1);
+  const i = Math.min(Math.floor(t), stops.length - 2), f = t - i;
+  const c = stops[i].map((x, k) => Math.round(x + f * (stops[i+1][k] - x)));
+  return `rgb(${c[0]},${c[1]},${c[2]})`;
+}
+function drawHeatmap() {
+  const rows = DATA[state.scene];
+  const free = [0, 1, 2].filter(a => a !== state.fix);
+  const sel = rows.filter(r => r[state.fix] === state.fixVal);
+  const xs = uniq(sel, free[0]), ys = uniq(sel, free[1]);
+  const cv = document.getElementById('hm'), ctx = cv.getContext('2d');
+  ctx.clearRect(0, 0, cv.width, cv.height);
+  if (!sel.length) return;
+  const vals = sel.map(r => r[state.metric]);
+  const lo = Math.min(...vals), hi = Math.max(...vals);
+  const cw = (cv.width - 60) / xs.length, chh = (cv.height - 40) / ys.length;
+  const cells = {};
+  sel.forEach(r => {
+    cells[`${r[free[0]]},${r[free[1]]}`] = r;
+  });
+  xs.forEach((x, xi) => ys.forEach((y, yi) => {
+    const r = cells[`${x},${y}`];
+    if (!r) return;
+    const v = (r[state.metric] - lo) / Math.max(hi - lo, 1e-9);
+    ctx.fillStyle = colormap(v);
+    ctx.fillRect(50 + xi * cw, cv.height - 30 - (yi + 1) * chh, cw - 1, chh - 1);
+  }));
+  ctx.fillStyle = '#222'; ctx.font = '11px sans-serif';
+  xs.forEach((x, xi) => ctx.fillText(x, 50 + xi * cw + cw / 2 - 6, cv.height - 14));
+  ys.forEach((y, yi) => ctx.fillText(y, 18, cv.height - 30 - yi * chh - chh / 2 + 4));
+  ctx.fillText(AXES[free[0]], cv.width / 2, cv.height - 2);
+  ctx.save(); ctx.translate(8, cv.height / 2); ctx.rotate(-Math.PI / 2);
+  ctx.fillText(AXES[free[1]], 0, 0); ctx.restore();
+  cv.onmousemove = ev => {
+    const b = cv.getBoundingClientRect();
+    const xi = Math.floor((ev.clientX - b.left - 50) / cw);
+    const yi = Math.floor((cv.height - 30 - (ev.clientY - b.top)) / chh);
+    const tip = document.getElementById('tip');
+    if (xi >= 0 && xi < xs.length && yi >= 0 && yi < ys.length) {
+      const r = cells[`${xs[xi]},${ys[yi]}`];
+      if (r) {
+        tip.textContent = `r=${r[0]} t=${r[1]} m=${r[2]}  correct=${r[3]}/${r[4]}  time=${r[5].toFixed(2)}s`;
+        return;
+      }
+    }
+    tip.textContent = '';
+  };
+}
+function drawLines() {
+  const rows = DATA[state.scene];
+  AXES.forEach((name, axis) => {
+    const cv = document.getElementById('ln' + axis), ctx = cv.getContext('2d');
+    ctx.clearRect(0, 0, cv.width, cv.height);
+    const vals = uniq(rows, axis);
+    const means = vals.map(v => {
+      const sel = rows.filter(r => r[axis] === v);
+      return sel.reduce((s, r) => s + r[state.metric], 0) / sel.length;
+    });
+    const lo = Math.min(...means), hi = Math.max(...means);
+    ctx.strokeStyle = '#2a6'; ctx.beginPath();
+    vals.forEach((v, i) => {
+      const x = 28 + i * (cv.width - 40) / Math.max(vals.length - 1, 1);
+      const y = cv.height - 22 - (means[i] - lo) / Math.max(hi - lo, 1e-9) * (cv.height - 36);
+      i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+      ctx.fillStyle = '#222'; ctx.fillText(v, x - 6, cv.height - 8);
+    });
+    ctx.stroke();
+    ctx.fillText(`mean ${state.metric === 3 ? 'correct' : 'time'} vs ${name}`, 30, 12);
+  });
+}
+function drawTable() {
+  const rows = [...DATA[state.scene]];
+  rows.sort((a, b) => b[3] - a[3]);
+  const top = rows.slice(0, 12);
+  document.getElementById('tbl').innerHTML =
+    '<tr><th>r</th><th>t</th><th>m</th><th>correct</th><th>total</th><th>time (s)</th></tr>' +
+    top.map(r => `<tr><td>${r[0]}</td><td>${r[1]}</td><td>${r[2]}</td>` +
+      `<td>${r[3]}</td><td>${r[4]}</td><td>${r[5].toFixed(2)}</td></tr>`).join('');
+}
+function refit() {
+  const rows = DATA[state.scene];
+  const vals = uniq(rows, state.fix);
+  const slider = document.getElementById('fixval');
+  slider.max = vals.length - 1;
+  if (state.fixVal === null || !vals.includes(state.fixVal)) {
+    slider.value = Math.floor(vals.length / 2);
+  }
+  state.fixVal = vals[slider.value];
+  document.getElementById('fixlabel').textContent =
+    `${AXES[state.fix]} = ${state.fixVal}`;
+  drawHeatmap(); drawLines(); drawTable();
+}
+function init() {
+  if (PASSWORD && prompt('password') !== PASSWORD) {
+    document.body.innerHTML = '<h2>locked</h2>'; return;
+  }
+  const scene = document.getElementById('scene');
+  Object.keys(DATA).forEach(k => scene.add(new Option(k, k)));
+  scene.onchange = () => { state.scene = scene.value; state.fixVal = null; refit(); };
+  document.getElementById('metric').onchange =
+    e => { state.metric = +e.target.value; refit(); };
+  document.getElementById('fixaxis').onchange =
+    e => { state.fix = +e.target.value; state.fixVal = null; refit(); };
+  document.getElementById('fixval').oninput = () => { state.fixVal = null; refit(); };
+  refit();
+}
+window.onload = init;
+"""
+
+_APP_HTML = """<html><head><title>GIMS-TPU parameter sweeps</title>
+<style>
+ body {{ font-family: sans-serif; margin: 18px; }}
+ canvas {{ border: 1px solid #ccc; margin: 4px; }}
+ select, input {{ margin: 0 10px 0 4px; }}
+ table {{ border-collapse: collapse; }}
+ td, th {{ border: 1px solid #bbb; padding: 2px 10px; text-align: right; }}
+ #tip {{ height: 18px; color: #333; font-size: 13px; }}
+</style></head><body>
+<h1>AGC parameter sweep dashboard</h1>
+<div>
+ scene <select id="scene"></select>
+ metric <select id="metric"><option value="3">correct</option>
+ <option value="5">time</option></select>
+ fix axis <select id="fixaxis"><option value="0">r</option>
+ <option value="1">t</option><option value="2" selected>m</option></select>
+ <input type="range" id="fixval" min="0" max="0" value="0"/>
+ <span id="fixlabel"></span>
+</div>
+<canvas id="hm" width="640" height="420"></canvas>
+<div id="tip"></div>
+<div>
+ <canvas id="ln0" width="300" height="160"></canvas>
+ <canvas id="ln1" width="300" height="160"></canvas>
+ <canvas id="ln2" width="300" height="160"></canvas>
+</div>
+<h3>best parameter sets</h3>
+<table id="tbl"></table>
+<script>{script}</script>
+</body></html>"""
+
+
+def render_interactive(record_paths, out_html="parameter_dashboard.html",
+                       password=None):
+    """Self-contained interactive dashboard (the Dash-app replacement)."""
+    import json
+
+    data = {}
+    for path in record_paths:
+        records = load_records(path)
+        if len(records):
+            data[Path(path).parent.name or Path(path).stem] = (
+                records.tolist()
+            )
+    script = _APP_JS.replace("__DATA__", json.dumps(data)).replace(
+        "__PASSWORD__", json.dumps(password)
+    )
+    with open(out_html, "w") as f:
+        f.write(_APP_HTML.format(script=script))
+    return out_html
+
+
 def serve(out_html, port=8050):
     """Minimal stdlib server replacing the Dash app."""
     import http.server
@@ -164,8 +342,17 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="parameter_report.html")
     parser.add_argument("--serve", action="store_true")
     parser.add_argument("--port", type=int, default=8050)
+    parser.add_argument("--static", action="store_true",
+                        help="matplotlib snapshot report instead of the "
+                             "interactive app")
+    parser.add_argument("--password", type=str, default=None,
+                        help="optional access gate (reference parity: the "
+                             "Dash app is password-protected)")
     args = parser.parse_args(argv)
-    out = render_report(args.records, args.out)
+    if args.static:
+        out = render_report(args.records, args.out)
+    else:
+        out = render_interactive(args.records, args.out, args.password)
     print(f"wrote {out}")
     if args.serve:
         serve(out, args.port)

@@ -67,6 +67,31 @@ def test_parameter_visualize(tmp_path):
     assert "base64" in html and "sweep" in html
 
 
+def test_parameter_visualize_interactive(tmp_path):
+    from gims_tpu.tools.parameter_visualize import (
+        render_interactive,
+        load_records,
+    )
+
+    rec = tmp_path / "record.txt"
+    rng = np.random.RandomState(0)
+    with open(rec, "w") as f:
+        for r in range(10, 13):
+            for t in range(0, 3):
+                for m in range(0, 3):
+                    f.write(f"[{r}, {t}, {m}, {rng.randint(100)}, 500, "
+                            f"{rng.rand():.3f}]\n")
+    out = render_interactive([str(rec)], str(tmp_path / "dash.html"),
+                             password="pw")
+    html = open(out).read()
+    # embedded data + the client-side controls the Dash app provided
+    assert '"pw"' in html
+    arr = load_records(rec)
+    assert f"[{arr[0, 0]:g}" in html.replace(".0,", ",") or "DATA" in html
+    for control in ("scene", "metric", "fixaxis", "fixval", "hm", "tbl"):
+        assert f'id="{control}"' in html, control
+
+
 def test_image_viewer_headless(tmp_path):
     from gims_tpu.tools.image_viewer import run_headless
 
