@@ -263,13 +263,77 @@ def _desc_nd(d):
     return d
 
 
-def init_gmatcher_variables(mcfg: MatcherConfig, seed: int = 0, nb: int = 32):
+def init_gmatcher_variables(mcfg: MatcherConfig, seed: int = 0, nb: int = 32,
+                            scheme: str = "default"):
+    """Initialize GMatcher variables.
+
+    scheme="default": flax initializers (reference-equivalent random init).
+    scheme="identity": zero-residual warm start — every GNN layer's final
+    MLP dense and the keypoint encoder's last dense start at zero (ReZero/
+    Fixup-style, so the 18-layer trunk is the identity at step 0), the
+    GraphSAGE stack starts as the duplication-averaging identity map, and
+    final_proj starts as I. Then the initial score matrix IS the scaled
+    descriptor similarity, i.e. the model starts at soft mutual-NN
+    quality instead of random and training only has to learn the
+    *refinement*. Sound for nonnegative descriptors (SIFT); CAR-HyNet
+    descriptors pass ReLUs at a small loss of init fidelity.
+    """
     gm = GMatcher(mcfg)
     z = lambda *s: jnp.zeros(s)
-    return gm.init(
+    variables = gm.init(
         jax.random.PRNGKey(seed),
         z(1, nb, 2), z(1, nb, mcfg.input_dim), jnp.zeros((1, nb, nb), bool),
         jnp.ones((1, nb), bool),
         z(1, nb, 2), z(1, nb, mcfg.input_dim), jnp.zeros((1, nb, nb), bool),
         jnp.ones((1, nb), bool),
     )
+    if scheme == "identity":
+        variables = _identity_warm_start(variables, mcfg)
+    return variables
+
+
+def _identity_warm_start(variables, mcfg: MatcherConfig):
+    import flax
+
+    params = flax.core.unfreeze(variables["params"]) if hasattr(
+        flax.core, "unfreeze") else dict(variables["params"])
+    d = mcfg.descriptor_dim
+    h = d // 2
+
+    def zero_like(p):
+        return jax.tree_util.tree_map(jnp.zeros_like, p)
+
+    # trunk residual branches -> 0 (last dense of each layer MLP)
+    for name, layer in params["gnn"].items():
+        layer["mlp"]["dense_1"] = zero_like(layer["mlp"]["dense_1"])
+    # keypoint encoding -> 0 at init
+    enc = params["kenc"]["encoder"]
+    last = f"dense_{len(mcfg.keypoint_encoder)}"
+    enc[last] = zero_like(enc[last])
+    # SAGE = duplication-averaging identity chain (256 -> 128 -> 128 -> 256
+    # for the default config), neighbor branch 0
+    eye = jnp.eye(h)
+    maps = [
+        jnp.concatenate([eye, eye], axis=0) * 0.5,   # (256,128): avg halves
+        eye,                                          # (128,128)
+        jnp.concatenate([eye, eye], axis=1),          # (128,256): re-dup
+    ]
+    sage = params["gnn_encoder"]
+    for i, m in enumerate(maps):
+        lay = sage[f"layer_{i}"]
+        if lay["fc_self"]["kernel"].shape == m.shape:
+            lay["fc_self"]["kernel"] = m
+            lay["fc_neigh"]["kernel"] = jnp.zeros_like(
+                lay["fc_neigh"]["kernel"])
+            lay["bias"] = jnp.zeros_like(lay["bias"])
+    # final_proj = s*I with s^2 * ||dup_desc||^2 / sqrt(d) = 10: initial
+    # logits are 10x the 128-d cosine similarity — sharp enough that
+    # confident descriptor matches survive the 1/(M+N) OT dilution and the
+    # 0.02 confidence threshold at step 0 (measured on a synthetic pair:
+    # alpha=8 -> 127 matches @ 100% precision, 12 -> 227 @ 81%, 16 -> 362
+    # @ 51% with max_keypoints=1024; training tunes it from there).
+    s = float(np.sqrt(10.0 * np.sqrt(d) / 2.0))
+    params["final_proj"]["kernel"] = jnp.eye(d) * s
+    params["final_proj"]["bias"] = jnp.zeros_like(
+        params["final_proj"]["bias"])
+    return {**variables, "params": params}

@@ -51,6 +51,11 @@ def main(argv=None):
                         help="'corner' = reference loss parity (negatives "
                              "carry no gradient); 'dustbin' = corrected "
                              "negative supervision")
+    parser.add_argument("--init_scheme", type=str, default=None,
+                        choices=["default", "identity"],
+                        help="'identity' = zero-residual warm start: the "
+                             "trunk starts as the identity and scores as "
+                             "scaled descriptor similarity")
     parser.add_argument("--cache_features", action="store_true",
                         help="compute each batch's host features once and "
                              "reuse across epochs (single-core hosts: ~6x "
@@ -74,6 +79,12 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, matcher=dataclasses.replace(
                 cfg.matcher, neg_cells=args.neg_cells
+            ),
+        )
+    if args.init_scheme:
+        cfg = dataclasses.replace(
+            cfg, matcher=dataclasses.replace(
+                cfg.matcher, init_scheme=args.init_scheme
             ),
         )
     save_dir = increment_path(

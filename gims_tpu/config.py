@@ -66,6 +66,10 @@ class MatcherConfig:
     # Use the Pallas streaming Sinkhorn kernel (gims_tpu/matcher/
     # pallas_sinkhorn.py) instead of the XLA loop. TPU only.
     use_pallas_sinkhorn: bool = False
+    # Parameter init: "default" = reference-equivalent random init;
+    # "identity" = zero-residual warm start (trunk starts as the identity,
+    # scores start as descriptor similarity — see api.init_gmatcher_variables).
+    init_scheme: str = "default"
     # Keypoint-normalization convention. "gims" replicates the reference's
     # shape-unpacking of NHWC images in normalize_keypoints (reference:
     # models/gmatcher.py:26-33 receives (B,H,W,3) so "height"=W and
@@ -198,6 +202,7 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         pos_loss_weight=tp.get("pos_loss_weight", cfg.matcher.pos_loss_weight),
         neg_loss_weight=tp.get("neg_loss_weight", cfg.matcher.neg_loss_weight),
         neg_cells=tp.get("neg_cells", cfg.matcher.neg_cells),
+        init_scheme=tp.get("init_scheme", cfg.matcher.init_scheme),
     )
     train = _update(
         cfg.train,

@@ -182,7 +182,9 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     rng = np.random.RandomState(tcfg.init_seed)
 
     frontend = FeatureFrontend(cfg.frontend, weights_path=carhynet_weights)
-    variables = init_gmatcher_variables(cfg.matcher, seed=tcfg.init_seed)
+    variables = init_gmatcher_variables(
+        cfg.matcher, seed=tcfg.init_seed, scheme=cfg.matcher.init_scheme
+    )
 
     if train_dataset is None:
         coco_dir = os.path.join(cfg.dataset.dataset_path, "train2017")

@@ -58,6 +58,34 @@ def test_pallas_attention_equals_direct(rng, n, m):
     )
 
 
+def test_identity_warm_start_scores_are_descriptor_similarity(rng):
+    """init_scheme='identity': the untrained trunk must be the identity,
+    so the score matrix equals alpha * cos-similarity of the 128-d
+    descriptors (alpha = 10)."""
+    from gims_tpu.api import init_gmatcher_variables
+
+    mcfg = MatcherConfig(sinkhorn_iterations=5, init_scheme="identity")
+    v = init_gmatcher_variables(mcfg, seed=3, scheme="identity")
+
+    n = 24
+    d128 = np.abs(rng.randn(2, n, 128)).astype(np.float32)  # SIFT-like >= 0
+    d128 /= np.linalg.norm(d128, axis=-1, keepdims=True)
+    desc = np.concatenate([d128, d128], axis=-1)
+    kpts = rng.rand(2, n, 2).astype(np.float32)
+    adj = np.zeros((2, n, n), bool)
+    kept = np.ones((2, n), bool)
+
+    out = GMatcher(mcfg).apply(
+        v, jnp.asarray(kpts[:1]), jnp.asarray(desc[:1]),
+        jnp.asarray(adj[:1]), jnp.asarray(kept[:1]),
+        jnp.asarray(kpts[1:]), jnp.asarray(desc[1:]),
+        jnp.asarray(adj[1:]), jnp.asarray(kept[1:]), train=False,
+    )
+    want = 10.0 * (d128[0] @ d128[1].T)
+    np.testing.assert_allclose(np.asarray(out["scores"][0]), want,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_masked_batchnorm_vs_torch(rng):
     import torch
 
