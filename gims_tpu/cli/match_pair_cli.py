@@ -24,27 +24,51 @@ def main(argv=None):
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
                         choices=["carhynet", "sift", "dense"])
     parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="single-program pipeline (gims_tpu/fused.py): "
+                             "on-device detection, one dispatch per pair")
+    parser.add_argument("--total_keypoints", type=int, default=12288,
+                        help="--fused keypoint budget")
     args = parser.parse_args(argv)
 
-    from gims_tpu.api import Matching
     from gims_tpu.eval.viz import draw_matches
 
     img0 = cv2.imread(args.image0, cv2.IMREAD_COLOR)
     img1 = cv2.imread(args.image1, cv2.IMREAD_COLOR)
-    matcher = Matching({
-        "weights_path": args.weights_path,
-        "sinkhorn_iterations": args.sinkhorn_iterations,
-        "match_threshold": args.match_threshold,
-        "max_keypoints": -1,
-        "descriptor_source": args.descriptor_source,
-        **({"attention_dtype": "bfloat16", "use_pallas_sinkhorn": True,
-            "fast_frontend": True} if args.fast else {}),
-    })
-    pred = matcher({
-        "image0": img0[None], "image1": img1[None],
-        "radius": args.agc_r, "percentile": args.agc_p,
-        "min_size": args.agc_m,
-    })
+    if args.fused:
+        from gims_tpu.fused import FusedMatching
+
+        variables = None
+        if args.weights_path:
+            from gims_tpu.matcher.convert import load_gims_checkpoint
+
+            variables = load_gims_checkpoint(args.weights_path)
+        matcher = FusedMatching({
+            "sinkhorn_iterations": args.sinkhorn_iterations,
+            "match_threshold": args.match_threshold,
+            "radius": args.agc_r, "percentile": args.agc_p,
+            "min_size": args.agc_m,
+            **({"attention_dtype": "bfloat16", "use_pallas_sinkhorn": True,
+                "fast_frontend": True} if args.fast else {}),
+        }, variables=variables, total_keypoints=args.total_keypoints)
+        pred = matcher(img0, img1)
+    else:
+        from gims_tpu.api import Matching
+
+        matcher = Matching({
+            "weights_path": args.weights_path,
+            "sinkhorn_iterations": args.sinkhorn_iterations,
+            "match_threshold": args.match_threshold,
+            "max_keypoints": -1,
+            "descriptor_source": args.descriptor_source,
+            **({"attention_dtype": "bfloat16", "use_pallas_sinkhorn": True,
+                "fast_frontend": True} if args.fast else {}),
+        })
+        pred = matcher({
+            "image0": img0[None], "image1": img1[None],
+            "radius": args.agc_r, "percentile": args.agc_p,
+            "min_size": args.agc_m,
+        })
     kpts0 = pred["keypoints0"][0]
     kpts1 = pred["keypoints1"][0]
     matches = pred["matches0"][0]
