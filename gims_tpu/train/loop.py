@@ -335,8 +335,10 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
                     make_batch, order[(it + 1) * bsz:(it + 2) * bsz])
             t1 = time.time()
             state, metrics = step_fn(state, batch)
-            mvec = jnp.stack([metrics["pos_loss"], metrics["neg_loss"],
-                              metrics["total_loss"]])
+            mvec = metrics.get("vec")
+            if mvec is None:
+                mvec = jnp.stack([metrics["pos_loss"], metrics["neg_loss"],
+                                  metrics["total_loss"]])
             pending.append((epoch, it, mvec,
                             (dt_data, dt_prep, time.time() - t1)))
             if (it + 1) % flush_every == 0 or it + 1 == num_batches \

@@ -165,7 +165,11 @@ def make_train_step(cfg: GIMSConfig, tx, image_shape, axis_name=None):
         (total, (pos, neg, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        metrics = {"total_loss": total, "pos_loss": pos, "neg_loss": neg}
+        metrics = {"total_loss": total, "pos_loss": pos, "neg_loss": neg,
+                   # pre-stacked (pos, neg, total) so the host loop never
+                   # issues an eager op per step (axon: every eager
+                   # dispatch is a tunnel RPC)
+                   "vec": jnp.stack([pos, neg, total])}
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)

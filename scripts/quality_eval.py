@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Run the recorded quality benchmarks and print a README-ready table.
+
+Two regimes (VERDICT.md round-1 items 2 and 10):
+  - synthetic textures (the bench.py family),
+  - real photos (assets/photos via generate_benchmark source_dir).
+
+Usage:
+  python scripts/quality_eval.py --weights weights/gims_tpu_sift.npz \
+      [--pairs 50] [--max_keypoints 2048]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--pairs", type=int, default=50)
+    ap.add_argument("--max_keypoints", type=int, default=2048)
+    ap.add_argument("--sinkhorn_iterations", type=int, default=20)
+    ap.add_argument("--match_threshold", type=float, default=0.02)
+    ap.add_argument("--resize", type=int, nargs=2, default=[800, 600])
+    ap.add_argument("--agc", type=float, nargs=3, default=[15, 2, 7])
+    ap.add_argument("--out_json", default="output/quality_eval.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from gims_tpu.api import Matching
+    from gims_tpu.eval.homography import generate_benchmark, run_benchmark
+
+    matcher = Matching({
+        "weights_path": args.weights,
+        "sinkhorn_iterations": args.sinkhorn_iterations,
+        "match_threshold": args.match_threshold,
+        "max_keypoints": args.max_keypoints,
+        "descriptor_source": "sift",
+    })
+    agc = {"radius": args.agc[0], "percentile": args.agc[1],
+           "min_size": int(args.agc[2])}
+
+    regimes = {
+        "synthetic": dict(source_dir=None, seed=3),
+        "photos": dict(source_dir="assets/photos", seed=5),
+    }
+    rows = {}
+    skip = {}
+    for name, kw in regimes.items():
+        txt, images = generate_benchmark(
+            f"assets/quality_{name}", n_pairs=args.pairs,
+            height=args.resize[1], width=args.resize[0], **kw,
+        )
+        res = run_benchmark(
+            txt, images, f"output/dump/quality_{name}",
+            resize=tuple(args.resize), agc=agc, matcher=matcher,
+        )
+        rows[name] = res
+        with open(f"output/dump/quality_{name}/result/results.txt") as f:
+            lines = [l for l in f.read().splitlines() if l.strip()]
+        skip[name] = sum(1 for l in lines if l.endswith("=> 0")) / max(
+            len(lines), 1)
+
+    print("\n| Regime | AUC@5 | AUC@10 | AUC@25 | Prec | Recall | skip% |")
+    print("|---|---|---|---|---|---|---|")
+    for name, res in rows.items():
+        if res is None:
+            print(f"| {name} | - | - | - | - | - | 100 |")
+            continue
+        a = res["ransac_auc"]
+        print(f"| {name} ({args.pairs} pairs, RANSAC) | {a[0]:.2f} | "
+              f"{a[1]:.2f} | {a[2]:.2f} | {res['precision']:.2f} | "
+              f"{res['recall']:.2f} | {100*skip[name]:.0f} |")
+    os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
+    with open(args.out_json, "w") as f:
+        json.dump({"rows": {k: v for k, v in rows.items()},
+                   "skip": skip, "args": vars(args)}, f, indent=1)
+    print(f"\nwrote {args.out_json}")
+
+
+if __name__ == "__main__":
+    main()
