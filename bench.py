@@ -62,32 +62,48 @@ def run_fused(pairs):
 
     from gims_tpu.fused import FusedMatching
 
+    # dense convolutional descriptors (pure MXU; no per-keypoint patch
+    # warp) + the identity warm start: scores = descriptor cosine, a
+    # working matcher without a descriptor-matched checkpoint (the
+    # recorded AUC table uses the trained SIFT-descriptor weights via the
+    # staged path — see README quality section).
     matcher = FusedMatching({
         "sinkhorn_iterations": 20,
         "match_threshold": 0.02,
         "attention_dtype": "bfloat16",
         "use_pallas_sinkhorn": True,
         "fast_frontend": True,
+        "descriptor_source": "dense",
+        "init_scheme": "identity",
         "radius": 15, "percentile": 2, "min_size": 7,
-    }, variables=load_synth_variables(), total_keypoints=12288)
+    }, total_keypoints=12288)
 
     # warmup / compile
     for p in pairs[:2]:
         matcher.collect(matcher.dispatch(*p))
 
+    # image uploads ride a worker thread: ~2.9 MB/pair through the ~6 MB/s
+    # tunnel (~0.5 s) would otherwise serialize with compute in dispatch()
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
     timed = pairs[2:]
     total_matches = 0
     inflight = deque()
-    t0 = time.perf_counter()
-    for p in timed:
-        inflight.append(matcher.dispatch(*p))
-        while len(inflight) > 2:
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        t0 = time.perf_counter()  # before submit: uploads count as work
+        up = [pool.submit(lambda p=p: tuple(map(jax.device_put, p)))
+              for p in timed]
+        for fut in up:
+            inflight.append(matcher.dispatch(*fut.result()))
+            while len(inflight) > 2:
+                pred = matcher.collect(inflight.popleft())
+                total_matches += int((pred["matches0"][0] > -1).sum())
+        while inflight:
             pred = matcher.collect(inflight.popleft())
             total_matches += int((pred["matches0"][0] > -1).sum())
-    while inflight:
-        pred = matcher.collect(inflight.popleft())
-        total_matches += int((pred["matches0"][0] > -1).sum())
-    elapsed = time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
     return len(timed), elapsed, total_matches, {"mode": "fused"}
 
 

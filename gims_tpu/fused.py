@@ -97,9 +97,43 @@ def _device_inverse_affines(px, py, size_oct, angle, warp_size):
     return jnp.stack([row0, row1], axis=-2)  # (K, 2, 3)
 
 
+def _dense_sample(maps3, px, py, layer, valid):
+    """Bilinear descriptor sampling from a (3, mh, mw, D) dense map stack.
+
+    px/py are octave-level pixel coords; the stride-4 SAME-padded dense map
+    has a +2 px center offset (see frontend/dense.py geometry)."""
+    _, mh, mw, ddim = maps3.shape
+    flat = maps3.reshape(-1, ddim)
+    lidx = jnp.clip(layer - 1, 0, 2)
+    mx = (px - 2.0) / 4.0
+    my = (py - 2.0) / 4.0
+    x0 = jnp.floor(mx)
+    y0 = jnp.floor(my)
+    fx = mx - x0
+    fy = my - y0
+    acc = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xx = jnp.clip(x0.astype(jnp.int32) + dx, 0, mw - 1)
+            yy = jnp.clip(y0.astype(jnp.int32) + dy, 0, mh - 1)
+            rows = lidx * (mh * mw) + yy * mw + xx
+            wx = (1.0 - fx) if dx == 0 else fx
+            wy = (1.0 - fy) if dy == 0 else fy
+            acc = acc + flat[rows] * (wx * wy * valid)[:, None]
+    norm = jnp.sqrt(jnp.sum(jnp.square(acc), axis=-1, keepdims=True) + 1e-10)
+    return acc / norm
+
+
 def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
-                  car_variables, car_model):
-    """One image -> device keypoints/descriptors/masks (fixed shapes)."""
+                  car_variables, car_model, dense_model=None):
+    """One image -> device keypoints/descriptors/masks (fixed shapes).
+
+    dense_model set (descriptor_source='dense'): CAR-HyNet runs fully
+    convolutionally over pyramid layers 1..3 per octave and descriptors
+    are bilinearly sampled at keypoints — pure MXU conv work plus 4 narrow
+    gather rows per keypoint, replacing the 1024-row-per-keypoint patch
+    warp (the fused path's dominant cost: ~400 ms of gather per side at
+    the 12288 budget)."""
     octs_gray = gray_pyramid(image_u8, h, w)
     base = upsample2x(image_u8.astype(jnp.float32))
     octs_color = build_pyramid_device(base, len(octs_gray))
@@ -137,26 +171,33 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
         ) * 2.0                                    # size * scale
         valid = top_v > 0
 
-        ainv = _device_inverse_affines(px, py, size_oct, ang, warp)
-        quads = quad_rows_from_levels(octs_color[o])
-        lvh, lvw, ch = (int(octs_color[o].shape[1]),
-                        int(octs_color[o].shape[2]),
-                        int(octs_color[o].shape[3]))
-        chunks = []
-        chunk = WARP_CHUNK if warp <= OUT_SIZE else WARP_CHUNK // 2
-        nchunks = -(-k_sel // chunk)
-        pad_to = nchunks * chunk
-        if pad_to != k_sel:
-            layer_p = jnp.pad(layer, (0, pad_to - k_sel))
-            ainv_p = jnp.pad(ainv, ((0, pad_to - k_sel), (0, 0), (0, 0)))
+        if dense_model is not None:
+            levels = octs_color[o][1:4].astype(jnp.float32) / 255.0
+            maps3 = dense_model.apply(car_variables, levels, train=False)
+            patches = _dense_sample(
+                maps3, px, py, layer, valid.astype(jnp.float32)
+            )  # (k_sel, D) descriptors directly
         else:
-            layer_p, ainv_p = layer, ainv
-        for i in range(nchunks):
-            s = slice(i * chunk, (i + 1) * chunk)
-            chunks.append(_warp_chunk(
-                quads, lvh, lvw, ch, layer_p[s], ainv_p[s], interp, warp
-            ))
-        patches = jnp.concatenate(chunks, axis=0)[:k_sel] / 255.0
+            ainv = _device_inverse_affines(px, py, size_oct, ang, warp)
+            quads = quad_rows_from_levels(octs_color[o])
+            lvh, lvw, ch = (int(octs_color[o].shape[1]),
+                            int(octs_color[o].shape[2]),
+                            int(octs_color[o].shape[3]))
+            chunks = []
+            chunk = WARP_CHUNK if warp <= OUT_SIZE else WARP_CHUNK // 2
+            nchunks = -(-k_sel // chunk)
+            pad_to = nchunks * chunk
+            if pad_to != k_sel:
+                layer_p = jnp.pad(layer, (0, pad_to - k_sel))
+                ainv_p = jnp.pad(ainv, ((0, pad_to - k_sel), (0, 0), (0, 0)))
+            else:
+                layer_p, ainv_p = layer, ainv
+            for i in range(nchunks):
+                s = slice(i * chunk, (i + 1) * chunk)
+                chunks.append(_warp_chunk(
+                    quads, lvh, lvw, ch, layer_p[s], ainv_p[s], interp, warp
+                ))
+            patches = jnp.concatenate(chunks, axis=0)[:k_sel] / 255.0
 
         scale_mult = float(2 ** (o - 1))
         kp_in = jnp.stack([px * scale_mult, py * scale_mult], axis=-1)
@@ -176,12 +217,15 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
     kpts = jnp.concatenate(kp_list)            # (total, 2) input coords
     scores = jnp.concatenate(sc_list)
     valid = jnp.concatenate(va_list)
-    patches = jnp.concatenate(patch_list)      # (total, 32*32*3)
+    patches = jnp.concatenate(patch_list)      # (total, 32*32*3) or (total, D)
 
-    desc128 = car_model.apply(
-        car_variables, patches.reshape(-1, OUT_SIZE, OUT_SIZE, 3),
-        train=False,
-    )
+    if dense_model is not None:
+        desc128 = patches
+    else:
+        desc128 = car_model.apply(
+            car_variables, patches.reshape(-1, OUT_SIZE, OUT_SIZE, 3),
+            train=False,
+        )
     desc256 = jnp.concatenate([desc128, desc128], axis=1)
     desc256 = jnp.where(valid[:, None], desc256, 0.0)
     return kpts, scores, valid, desc256
@@ -190,13 +234,13 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
 def fused_match_pair(matcher_variables, car_variables, car_model,
                      mcfg: MatcherConfig, acfg: AGCConfig,
                      fe: FrontendConfig, budgets,
-                     img0_u8, img1_u8, h: int, w: int):
+                     img0_u8, img1_u8, h: int, w: int, dense_model=None):
     """The one-program pipeline. Call under jit with static
-    (car_model, mcfg, acfg, fe, budgets, h, w)."""
+    (car_model, mcfg, acfg, fe, budgets, h, w, dense_model)."""
     kp0, sc0, va0, de0 = _extract_side(img0_u8, h, w, budgets, fe,
-                                       car_variables, car_model)
+                                       car_variables, car_model, dense_model)
     kp1, sc1, va1, de1 = _extract_side(img1_u8, h, w, budgets, fe,
-                                       car_variables, car_model)
+                                       car_variables, car_model, dense_model)
     out = pipeline.forward_match(
         matcher_variables, mcfg, acfg,
         kp0[None], de0[None], va0[None],
@@ -238,17 +282,24 @@ class FusedMatching:
         self.fe = FrontendConfig(
             interpolation="linear" if config.get("fast_frontend") else "cubic",
             warp_size=32 if config.get("fast_frontend") else 64,
+            descriptor_source=config.get("descriptor_source", "carhynet"),
         )
         self.total = total_keypoints
         if variables is None:
-            variables = init_gmatcher_variables(self.mcfg, seed)
+            variables = init_gmatcher_variables(
+                self.mcfg, seed, scheme=config.get("init_scheme", "default")
+            )
         self.variables = jax.device_put(variables)
         self.car_model = CARHyNet()
+        self.dense_model = (
+            CARHyNet(dense=True)
+            if self.fe.descriptor_source == "dense" else None
+        )
         if car_variables is None:
             car_variables = DescriptorEngine(seed=seed).variables
         self.car_variables = jax.device_put(car_variables)
         self._jit = functools.partial(
-            jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10)
+            jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11)
         )(fused_match_pair)
         self.timings = {}
 
@@ -259,7 +310,7 @@ class FusedMatching:
         return self._jit(
             self.variables, self.car_variables, self.car_model,
             self.mcfg, self.acfg, self.fe, budgets,
-            jnp.asarray(img0), jnp.asarray(img1), h, w,
+            jnp.asarray(img0), jnp.asarray(img1), h, w, self.dense_model,
         )
 
     def __call__(self, img0, img1):
