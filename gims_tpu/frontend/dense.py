@@ -79,7 +79,7 @@ def dense_feature_maps(pyramid, variables, dim_desc: int = 128,
         h, w = int(pyramid[o].shape[1]), int(pyramid[o].shape[2])
         if min(h, w) < MIN_LEVEL_SIDE:
             break
-        levels = pyramid[o][list(KP_LAYERS)].astype(dtype) / 255.0
+        levels = pyramid[o][KP_LAYERS[0]:KP_LAYERS[-1] + 1].astype(dtype) / 255.0
         maps = model.apply(variables, levels, train=False)  # (3, mh, mw, D)
         chunks.append(maps.reshape(-1, dim_desc))
     return jnp.concatenate(chunks, axis=0)
