@@ -8,11 +8,18 @@ eval knobs: sinkhorn_iterations=20, match_threshold=0.02, AGC r=15/p=2/m=7
 pairs (the environment ships no datasets); the keypoint budget is 12288,
 matching the reference's ~15k-keypoint regime.
 
-Default mode runs the FUSED single-program pipeline (gims_tpu/fused.py):
-detection, patches, descriptors, AGC, GNN and OT in one XLA program per
-pair, with two pairs in flight (dispatch i+1 while i executes). Set
-GIMS_BENCH_MODE=staged for the api.Matching host-SIFT path (the
-reference-parity frontend).
+Two modes (GIMS_BENCH_MODE=staged|fused, default staged):
+- staged: api.Matching — host SIFT detect overlapped on a worker thread
+  with the device frontend + matcher. Fastest wall-clock on this host
+  because its two RPC streams (frontend thread + matcher thread) overlap
+  through the tunnel.
+- fused: gims_tpu/fused.py — ONE XLA program per pair (device DoG
+  detection, dense convolutional CAR-HyNet descriptors, AGC, GNN, OT),
+  two pairs in flight. Device time/pair ~0.97 s but image uploads
+  (~2.9 MB/pair at ~6 MB/s) serialize with compute on the single tunnel
+  stream, so wall is ~1.47 s/pair here; on local-PCIe hardware this mode
+  wins. It also produces ~4x the matches of the staged synth checkpoint
+  (trained dense weights).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -45,11 +52,11 @@ def make_images(n_pairs, h=600, w=800):
     return pairs
 
 
-def load_synth_variables():
+def load_variables(name):
     import os
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "weights", "gims_tpu_synth.npz")
+                        "weights", name)
     if os.path.exists(path):
         from gims_tpu.core.checkpoint import unflatten_npz
 
@@ -63,10 +70,11 @@ def run_fused(pairs):
     from gims_tpu.fused import FusedMatching
 
     # dense convolutional descriptors (pure MXU; no per-keypoint patch
-    # warp) + the identity warm start: scores = descriptor cosine, a
-    # working matcher without a descriptor-matched checkpoint (the
-    # recorded AUC table uses the trained SIFT-descriptor weights via the
-    # staged path — see README quality section).
+    # warp), weights trained with this exact frontend
+    # (configs/synth_sift_cached.yaml recipe with --descriptor_source
+    # dense; identity warm start is the fallback when the checkpoint is
+    # absent). The recorded AUC table uses the SIFT-descriptor weights
+    # via the staged path — see README quality section.
     matcher = FusedMatching({
         "sinkhorn_iterations": 20,
         "match_threshold": 0.02,
@@ -76,7 +84,8 @@ def run_fused(pairs):
         "descriptor_source": "dense",
         "init_scheme": "identity",
         "radius": 15, "percentile": 2, "min_size": 7,
-    }, total_keypoints=12288)
+    }, variables=load_variables("gims_tpu_dense.npz"),
+        total_keypoints=12288)
 
     # warmup / compile
     for p in pairs[:2]:
@@ -112,7 +121,7 @@ def run_staged(pairs):
 
     from gims_tpu.api import Matching
 
-    matcher = Matching(variables=load_synth_variables(), config={
+    matcher = Matching(variables=load_variables("gims_tpu_synth.npz"), config={
         "sinkhorn_iterations": 20,
         "match_threshold": 0.02,
         "max_keypoints": 12288,
@@ -165,12 +174,12 @@ def main():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-        mode = os.environ.get("GIMS_BENCH_MODE", "fused")
+        mode = os.environ.get("GIMS_BENCH_MODE", "staged")
         pairs = make_images(13)
-        if mode == "staged":
-            n, elapsed, total_matches, extra = run_staged(pairs)
-        else:
+        if mode == "fused":
             n, elapsed, total_matches, extra = run_fused(pairs)
+        else:
+            n, elapsed, total_matches, extra = run_staged(pairs)
         fps = n / elapsed
 
         out = {
