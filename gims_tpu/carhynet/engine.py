@@ -25,23 +25,24 @@ class DescriptorEngine:
     """Computes 128-d CAR-HyNet descriptors for (N, 32, 32, 3) patches."""
 
     def __init__(self, variables=None, weights_path: Optional[str] = None,
-                 dim_desc: int = 128, seed: int = 0):
+                 dim_desc: int = 128, seed: int = 0, in_channels: int = 3):
         self.dim_desc = dim_desc
-        self.model = CARHyNet(dim_desc=dim_desc)
+        self.in_channels = in_channels
+        self.model = CARHyNet(dim_desc=dim_desc, in_channels=in_channels)
         if variables is None:
             if weights_path is not None:
                 variables = load_variables(weights_path, dim_desc)
             else:
                 variables = self.model.init(
                     jax.random.PRNGKey(seed),
-                    jnp.zeros((1, 32, 32, 3), jnp.float32),
+                    jnp.zeros((1, 32, 32, in_channels), jnp.float32),
                 )
         self.variables = variables
 
         @functools.partial(jax.jit, static_argnums=())
         def _apply(vars_, patches):
-            # accepts (N, 32, 32, 3) or the flat (N, 3072) device layout
-            patches = patches.reshape(-1, 32, 32, 3)
+            # accepts (N, 32, 32, C) or the flat (N, 32*32*C) device layout
+            patches = patches.reshape(-1, 32, 32, in_channels)
             return self.model.apply(vars_, patches, train=False)
 
         self._apply = _apply

@@ -34,10 +34,13 @@ class FRN(nn.Module):
     def __call__(self, x):
         weight = self.param("weight", nn.initializers.ones, (self.num_features,))
         bias = self.param("bias", nn.initializers.zeros, (self.num_features,))
-        # nu2: mean of squares over spatial dims per (sample, channel)
-        nu2 = jnp.mean(jnp.square(x), axis=(1, 2), keepdims=True)
-        x = x * jax.lax.rsqrt(nu2 + abs(self.eps))
-        return weight * x + bias
+        # nu2: mean of squares over spatial dims per (sample, channel).
+        # Accumulate in f32 so the module stays correct when the whole
+        # network is run in bf16 (dense frontend speed path).
+        nu2 = jnp.mean(jnp.square(x), axis=(1, 2), keepdims=True,
+                       dtype=jnp.float32)
+        x = x * jax.lax.rsqrt(nu2 + abs(self.eps)).astype(x.dtype)
+        return weight.astype(x.dtype) * x + bias.astype(x.dtype)
 
 
 class TLU(nn.Module):
@@ -51,7 +54,7 @@ class TLU(nn.Module):
             "tau", lambda k, s: jnp.full(s, -1.0, jnp.float32),
             (self.num_features,),
         )
-        return jnp.maximum(x, tau)
+        return jnp.maximum(x, tau.astype(x.dtype))
 
 
 def h_sigmoid(x):
@@ -85,8 +88,10 @@ class CoordAtt(nn.Module):
         # x: (B, H, W, C)
         b, h, w, c = x.shape
         mip = max(8, self.inp // self.reduction)
-        x_h = jnp.mean(x, axis=2, keepdims=True)  # (B, H, 1, C)
-        x_w = jnp.mean(x, axis=1, keepdims=True)  # (B, 1, W, C)
+        x_h = jnp.mean(x, axis=2, keepdims=True,
+                       dtype=jnp.float32).astype(x.dtype)  # (B, H, 1, C)
+        x_w = jnp.mean(x, axis=1, keepdims=True,
+                       dtype=jnp.float32).astype(x.dtype)  # (B, 1, W, C)
         x_w_t = jnp.transpose(x_w, (0, 2, 1, 3))  # (B, W, 1, C)
         y = jnp.concatenate([x_h, x_w_t], axis=1)  # (B, H+W, 1, C)
         y = nn.Conv(mip, (1, 1), use_bias=True, name="conv1")(y)
@@ -175,7 +180,9 @@ class SandGlass(nn.Module):
 
 def desc_l2norm(desc):
     """L2 normalization with the reference's epsilon
-    (reference: carhynet/models.py:9-21)."""
+    (reference: carhynet/models.py:9-21). f32 accumulation + f32 output
+    regardless of the compute dtype."""
+    desc = desc.astype(jnp.float32)
     denom = jnp.sqrt(jnp.sum(jnp.square(desc), axis=1, keepdims=True)
                      + EPS_L2_NORM)
     return desc / denom
@@ -196,12 +203,17 @@ class CARHyNet(nn.Module):
     dim_desc: int = 128
     drop_rate: float = 0.2
     dense: bool = False
+    # in_channels=1: grayscale variant for the dense_gray frontend — the
+    # descriptor maps are computed from the DETECTION gray pyramid, so no
+    # color pyramid is built and images upload as single-channel uint8
+    # (3x less tunnel traffic). Weights are trained in-repo per variant.
+    in_channels: int = 3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # --- layer1 ---
-        x = FRN(3, name="l1_frn_in")(x)
-        x = TLU(3, name="l1_tlu_in")(x)
+        x = FRN(self.in_channels, name="l1_frn_in")(x)
+        x = TLU(self.in_channels, name="l1_tlu_in")(x)
         x = _conv(32, 3, bias=True, name="l1_conv")(x)
         x = FRN(32, name="l1_frn")(x)
         x = CoordAtt(32, 32, name="l1_coord")(x, train)
@@ -239,6 +251,7 @@ class CARHyNet(nn.Module):
                     name="l7_conv")(x)
         x = _bn("l7_bn", train, affine=False)(x)
         if self.dense:
+            x = x.astype(jnp.float32)
             denom = jnp.sqrt(
                 jnp.sum(jnp.square(x), axis=-1, keepdims=True) + EPS_L2_NORM
             )

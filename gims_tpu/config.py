@@ -95,6 +95,12 @@ class FrontendConfig:
     # "dense" = convolutional CAR-HyNet over pyramid levels + bilinear
     # descriptor sampling (frontend/dense.py) — no per-keypoint patch warp.
     descriptor_source: str = "carhynet"
+    # Compute dtype for the dense convolutional descriptor path. The dense
+    # CAR-HyNet pass is the dominant extraction cost (~200 ms/side in f32
+    # at 800x600); bf16 runs the convs at MXU rate with f32-accumulated
+    # normalizations (carhynet/model.py) and matches f32 descriptors to
+    # cos-sim > 0.999. Set "float32" to disable.
+    dense_dtype: str = "bfloat16"
     # "host" = OpenCV SIFT detection on the CPU (reference parity,
     # reference: utils/common.py:851-862). "device" = dense DoG-extrema
     # detection on the TPU (frontend/detect_device.py) — the speed path

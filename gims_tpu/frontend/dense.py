@@ -159,3 +159,104 @@ class DenseDescriptorFrontend:
         rows, wts = sample_plan(kp, offsets, dims, nb)
         return gather_descriptors(buffer, jnp.asarray(rows),
                                   jnp.asarray(wts))
+
+
+def sample_plan_gray(kp: KeypointArrays, offsets: np.ndarray,
+                     dims: List[Tuple[int, int]], nb: int, first: int):
+    """Gather plan for the dense_gray geometry (see fused._extract_side):
+    maps exist for pyramid octaves `first`..`first+len(dims)-1`; a keypoint
+    outside that range samples the nearest available octave's map at
+    rescaled coordinates (octave-src level coords p = pt * 2^(1-src))."""
+    n = min(len(kp), nb)
+    rows = np.zeros((nb, 4), np.int64)
+    wts = np.zeros((nb, 4), np.float32)
+    if n == 0:
+        return rows.astype(np.int32), wts
+    o_idx = (kp.octave[:n] + 1).astype(np.int64)
+    layer = np.clip(kp.layer[:n], KP_LAYERS[0], KP_LAYERS[-1]) - KP_LAYERS[0]
+    src = np.clip(o_idx, first, first + len(dims) - 1)
+    base = offsets[src - first, layer]
+    mh = np.asarray([d[0] for d in dims], np.int64)[src - first]
+    mw = np.asarray([d[1] for d in dims], np.int64)[src - first]
+
+    p = kp.pt[:n] * (2.0 ** (1 - src))[:, None]   # octave-src level coords
+    mx = (p[:, 0] - 2.0) / 4.0
+    my = (p[:, 1] - 2.0) / 4.0
+    x0 = np.floor(mx)
+    y0 = np.floor(my)
+    fx = (mx - x0).astype(np.float32)
+    fy = (my - y0).astype(np.float32)
+    x0 = x0.astype(np.int64)
+    y0 = y0.astype(np.int64)
+    for t, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        xx = np.clip(x0 + dx, 0, mw - 1)
+        yy = np.clip(y0 + dy, 0, mh - 1)
+        rows[:n, t] = base + yy * mw + xx
+        wx = (1.0 - fx) if dx == 0 else fx
+        wy = (1.0 - fy) if dy == 0 else fy
+        wts[:n, t] = wx * wy
+    return rows.astype(np.int32), wts
+
+
+class DenseGrayDescriptorFrontend:
+    """dense_gray descriptors for HOST-detected keypoints (training/staged
+    path) with the exact geometry of the fused extractor: in_channels=1
+    CAR-HyNet over the gray DETECTION pyramid (detect_device.gray_pyramid
+    — 2x upsample + initial blur), octaves 1.. only; octave-0 keypoints
+    sample octave 1 at halved coordinates."""
+
+    def __init__(self, variables, dim_desc: int = 128,
+                 dtype: str = "bfloat16"):
+        from gims_tpu.carhynet.model import CARHyNet
+
+        self.dim_desc = dim_desc
+        ddt = jnp.dtype(dtype) if dtype != "float32" else jnp.float32
+        if ddt != jnp.float32:
+            variables = jax.tree_util.tree_map(
+                lambda p: p.astype(ddt)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                variables,
+            )
+        self.variables = variables
+        model = CARHyNet(dim_desc=dim_desc, dense=True, in_channels=1)
+
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def _maps(vars_, image_u8, h, w):
+            from gims_tpu.frontend.detect_device import gray_pyramid
+
+            octs = gray_pyramid(image_u8, h, w)
+            first = 1 if len(octs) > 1 else 0
+            chunks = []
+            for o in range(first, len(octs)):
+                if min(int(octs[o].shape[1]), int(octs[o].shape[2])) < 16:
+                    break
+                levels = octs[o][1:4][..., None].astype(ddt) / 255.0
+                maps = model.apply(vars_, levels, train=False)
+                chunks.append(maps.reshape(-1, dim_desc))
+            return jnp.concatenate(chunks, axis=0)
+
+        self._maps = _maps
+
+    def meta(self, h: int, w: int):
+        """(offsets, dims, first) for an (h, w) input image."""
+        from gims_tpu.frontend.pyramid import num_octaves
+
+        n_oct = num_octaves(2 * h, 2 * w)
+        shapes = []
+        hh, ww = 2 * h, 2 * w
+        for _ in range(n_oct):
+            shapes.append((hh, ww))
+            # next octave = [::2, ::2] slicing of this one (ceil halving)
+            hh, ww = (hh + 1) // 2, (ww + 1) // 2
+        first = 1 if n_oct > 1 else 0
+        offsets, dims, _ = dense_meta(shapes[first:])
+        return offsets, dims, first
+
+    def compute(self, image_u8_np: np.ndarray, kp: KeypointArrays, nb: int):
+        """Host image + host keypoints -> (nb, dim_desc) device descs."""
+        h, w = image_u8_np.shape[:2]
+        offsets, dims, first = self.meta(h, w)
+        buffer = self._maps(self.variables, jnp.asarray(image_u8_np), h, w)
+        rows, wts = sample_plan_gray(kp, offsets, dims, nb, first)
+        return gather_descriptors(buffer, jnp.asarray(rows),
+                                  jnp.asarray(wts))

@@ -73,14 +73,18 @@ def _sep_blur_hw(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
 
 
 def gray_pyramid(image_u8: jnp.ndarray, h: int, w: int):
-    """uint8 (H, W, 3) BGR -> list of (6, H>>o, W>>o) gray octaves.
+    """uint8 (H, W, 3) BGR — or an already-gray (H, W) — -> list of
+    (6, H>>o, W>>o) gray octaves.
 
     Matches OpenCV SIFT's detection pyramid: BGR2GRAY, 2x linear
     upsample, initial blur to reach sigma on the doubled grid.
     """
-    bgr = image_u8.astype(jnp.float32)
-    gray = (0.114 * bgr[..., 0] + 0.587 * bgr[..., 1]
-            + 0.299 * bgr[..., 2])
+    if image_u8.ndim == 2:
+        gray = image_u8.astype(jnp.float32)
+    else:
+        bgr = image_u8.astype(jnp.float32)
+        gray = (0.114 * bgr[..., 0] + 0.587 * bgr[..., 1]
+                + 0.299 * bgr[..., 2])
     base = upsample2x(gray[..., None])[..., 0]
     sig_diff = math.sqrt(max(SIGMA**2 - 4 * 0.25, 0.01))
     base = _sep_blur_hw(base, jnp.asarray(gaussian_kernel_1d(sig_diff)))
@@ -108,11 +112,13 @@ def _pool3(x, op):
 
 
 def _octave_candidates(gauss, contrast_threshold, edge_threshold,
-                       ori_grads):
+                       ori_grads=None):
     """Dense per-pixel extrema fit for one octave.
 
     gauss: (6, H, W). Returns dict of (3, H, W) maps: score (|contr|,
-    -1 where invalid), offx, offy, offs, angle_deg.
+    -1 where invalid), offx, offy, offs, angle_deg. ori_grads may be None
+    when the caller does not need orientations (the dense descriptor path
+    drops rotation alignment) — "angle" is then absent from the result.
     """
     dog = gauss[1:] - gauss[:-1]             # (5, H, W)
     lh, hh, wh = dog.shape
@@ -175,10 +181,10 @@ def _octave_candidates(gauss, contrast_threshold, edge_threshold,
 
     ok = is_ext & converged & contrast_ok & edge_ok & inside
     score = jnp.where(ok, jnp.abs(contr), NEG)
-    return {
-        "score": score, "offx": offx, "offy": offy, "offs": offs,
-        "angle": ori_grads,
-    }
+    out = {"score": score, "offx": offx, "offy": offy, "offs": offs}
+    if ori_grads is not None:
+        out["angle"] = ori_grads
+    return out
 
 
 def _orientation_maps(gauss):

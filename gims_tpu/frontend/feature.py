@@ -48,12 +48,20 @@ class FeatureFrontend:
         self.cfg = cfg or FrontendConfig()
         self.engine = None
         self.dense = None
+        self.dense_gray = None
         if self.cfg.descriptor_source != "sift":
-            self.engine = engine or DescriptorEngine(weights_path=weights_path)
+            in_ch = 1 if self.cfg.descriptor_source == "dense_gray" else 3
+            self.engine = engine or DescriptorEngine(
+                weights_path=weights_path, in_channels=in_ch)
         if self.cfg.descriptor_source == "dense":
             from gims_tpu.frontend.dense import DenseDescriptorFrontend
 
             self.dense = DenseDescriptorFrontend(self.engine.variables)
+        elif self.cfg.descriptor_source == "dense_gray":
+            from gims_tpu.frontend.dense import DenseGrayDescriptorFrontend
+
+            self.dense_gray = DenseGrayDescriptorFrontend(
+                self.engine.variables, dtype=self.cfg.dense_dtype)
         self.timings = {}
 
     def extract(
@@ -77,6 +85,13 @@ class FeatureFrontend:
             desc128 = raw.astype(np.float32)
             norms = np.linalg.norm(desc128, axis=1, keepdims=True)
             desc128 = desc128 / np.maximum(norms, 1e-12)
+            desc256 = np.concatenate([desc128, desc128], axis=1)
+            t3 = time.perf_counter()
+        elif self.dense_gray is not None:
+            kp = detect(image_bgr, self.cfg, max_keypoints, train_topup, rng)
+            t1 = t2 = time.perf_counter()
+            desc128 = np.asarray(
+                self.dense_gray.compute(image_bgr, kp, len(kp)))
             desc256 = np.concatenate([desc128, desc128], axis=1)
             t3 = time.perf_counter()
         elif self.dense is not None:
@@ -159,6 +174,11 @@ class FeatureFrontend:
             # ship uint8 (4x less tunnel traffic), normalize + duplicate
             # to 256-d on device
             desc256 = _normalize_duplicate(jnp.asarray(pad))
+            t3 = time.perf_counter()
+        elif self.dense_gray is not None:
+            t2 = time.perf_counter()
+            desc128 = self.dense_gray.compute(image_bgr, kp, nb)
+            desc256 = jnp.concatenate([desc128, desc128], axis=1)
             t3 = time.perf_counter()
         elif self.dense is not None:
             h, w = image_bgr.shape[:2]

@@ -76,19 +76,25 @@ def _sep_blur(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     return x[0]
 
 
-def build_pyramid_device(base: jnp.ndarray, n_oct: int):
+def build_pyramid_device(base: jnp.ndarray, n_oct: int,
+                         n_layers: int = N_OCTAVE_LAYERS + 3):
     """base: (H, W, C) f32 — the ALREADY 2x-upsampled image.
 
-    Returns a list of n_oct arrays, octave o shaped (6, H>>o, W>>o, C).
+    Returns a list of n_oct arrays, octave o shaped (n_layers, H>>o, W>>o, C).
     Trace-once per base shape (wrap in jit at the call site).
+    n_layers may be trimmed to N_OCTAVE_LAYERS + 1 = 4 when only the
+    keypoint-bearing layers 1..3 are consumed (dense descriptor path) —
+    layer 3 still seeds the next octave, so the chain is unchanged.
     """
+    if n_layers < N_OCTAVE_LAYERS + 1:
+        raise ValueError("need layers through N_OCTAVE_LAYERS to seed octaves")
     sigs = blur_sigmas()
     kerns = [jnp.asarray(gaussian_kernel_1d(s)) for s in sigs]
     octaves = []
     img = base
     for o in range(n_oct):
         layers = [img]
-        for i in range(1, N_OCTAVE_LAYERS + 3):
+        for i in range(1, n_layers):
             layers.append(_sep_blur(layers[-1], kerns[i]))
         octaves.append(jnp.stack(layers))
         # nearest 2x downsample of layer N_OCTAVE_LAYERS (reference:268)

@@ -133,17 +133,55 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
     are bilinearly sampled at keypoints — pure MXU conv work plus 4 narrow
     gather rows per keypoint, replacing the 1024-row-per-keypoint patch
     warp (the fused path's dominant cost: ~400 ms of gather per side at
-    the 12288 budget)."""
+    the 12288 budget). Dense-mode extras (measured on v5e at 800x600):
+    orientation maps are skipped entirely (~55 ms — dense descriptors are
+    rotation-robust by training, not warp-aligned), the color pyramid
+    stops at layer 3 (~20 ms — layers 4..5 are only consumed by the patch
+    warp), and the conv pass runs in fe.dense_dtype (bf16: ~2.5x).
+
+    descriptor_source='dense_gray' goes further: the descriptor CNN is the
+    in_channels=1 CAR-HyNet run over the DETECTION gray pyramid itself
+    (no separate color pyramid at all), and the 2x-upsampled octave 0 —
+    ~3/4 of the dense conv FLOPs for ~zero extra image content — is not
+    processed: its keypoints sample the octave-1 maps at halved
+    coordinates. The input may then be a single-channel (H, W) uint8
+    image (3x less host->device traffic). Weights are trained in-repo
+    against this exact geometry."""
+    gray_desc = dense_model is not None and fe.descriptor_source == "dense_gray"
     octs_gray = gray_pyramid(image_u8, h, w)
-    base = upsample2x(image_u8.astype(jnp.float32))
-    octs_color = build_pyramid_device(base, len(octs_gray))
+    if dense_model is not None and fe.dense_dtype != "float32":
+        ddt = jnp.dtype(fe.dense_dtype)
+        car_variables = jax.tree_util.tree_map(
+            lambda p: p.astype(ddt) if jnp.issubdtype(p.dtype, jnp.floating)
+            else p,
+            car_variables,
+        )
+    else:
+        ddt = jnp.float32
+    if gray_desc:
+        octs_color = None
+        first_map_oct = 1 if len(octs_gray) > 1 else 0
+        gray_maps = {}
+        for o in range(first_map_oct, len(octs_gray)):
+            if min(int(octs_gray[o].shape[1]), int(octs_gray[o].shape[2])) < 16:
+                break
+            levels = octs_gray[o][1:4][..., None].astype(ddt) / 255.0
+            gray_maps[o] = dense_model.apply(car_variables, levels,
+                                             train=False)
+    else:
+        base = upsample2x(image_u8.astype(jnp.float32))
+        n_layers = N_OCTAVE_LAYERS + 1 if dense_model is not None else None
+        octs_color = build_pyramid_device(
+            base, len(octs_gray),
+            **({"n_layers": n_layers} if n_layers else {}),
+        )
 
     warp = fe.warp_size
     interp = fe.interpolation
     kp_list, sc_list, va_list, patch_list = [], [], [], []
     for o, gauss in enumerate(octs_gray):
         k_o = budgets[o]
-        ori = _orientation_maps(gauss)
+        ori = None if dense_model is not None else _orientation_maps(gauss)
         cand = _octave_candidates(gauss, fe.contrast_threshold,
                                   fe.edge_threshold, ori)
         score = cand["score"].reshape(-1)
@@ -162,7 +200,7 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
         offx = g(cand["offx"])
         offy = g(cand["offy"])
         offs = g(cand["offs"])
-        ang = g(cand["angle"])
+        ang = g(cand["angle"]) if "angle" in cand else None
         layer = (li + 1).astype(jnp.int32)
         px = xi.astype(jnp.float32) + offx        # octave coords
         py = yi.astype(jnp.float32) + offy
@@ -171,8 +209,15 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
         ) * 2.0                                    # size * scale
         valid = top_v > 0
 
-        if dense_model is not None:
-            levels = octs_color[o][1:4].astype(jnp.float32) / 255.0
+        if gray_desc:
+            src = min(max(o, min(gray_maps)), max(gray_maps))
+            f = 2.0 ** (o - src)  # octave-o coords -> octave-src coords
+            patches = _dense_sample(
+                gray_maps[src], px * f, py * f, layer,
+                valid.astype(jnp.float32)
+            )  # (k_sel, D) descriptors directly
+        elif dense_model is not None:
+            levels = octs_color[o][1:4].astype(ddt) / 255.0
             maps3 = dense_model.apply(car_variables, levels, train=False)
             patches = _dense_sample(
                 maps3, px, py, layer, valid.astype(jnp.float32)
@@ -283,6 +328,7 @@ class FusedMatching:
             interpolation="linear" if config.get("fast_frontend") else "cubic",
             warp_size=32 if config.get("fast_frontend") else 64,
             descriptor_source=config.get("descriptor_source", "carhynet"),
+            dense_dtype=config.get("dense_dtype", "bfloat16"),
         )
         self.total = total_keypoints
         if variables is None:
@@ -290,13 +336,20 @@ class FusedMatching:
                 self.mcfg, seed, scheme=config.get("init_scheme", "default")
             )
         self.variables = jax.device_put(variables)
-        self.car_model = CARHyNet()
+        in_ch = 1 if self.fe.descriptor_source == "dense_gray" else 3
+        self.car_model = CARHyNet(in_channels=in_ch)
         self.dense_model = (
-            CARHyNet(dense=True)
-            if self.fe.descriptor_source == "dense" else None
+            CARHyNet(dense=True, in_channels=in_ch)
+            if self.fe.descriptor_source in ("dense", "dense_gray") else None
         )
         if car_variables is None:
-            car_variables = DescriptorEngine(seed=seed).variables
+            if in_ch == 1:
+                car_variables = self.car_model.init(
+                    jax.random.PRNGKey(seed),
+                    jnp.zeros((1, 32, 32, 1), jnp.float32),
+                )
+            else:
+                car_variables = DescriptorEngine(seed=seed).variables
         self.car_variables = jax.device_put(car_variables)
         self._jit = functools.partial(
             jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11)
