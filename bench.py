@@ -71,21 +71,35 @@ def run_fused(pairs):
 
     # dense convolutional descriptors (pure MXU; no per-keypoint patch
     # warp), weights trained with this exact frontend
-    # (configs/synth_sift_cached.yaml recipe with --descriptor_source
-    # dense; identity warm start is the fallback when the checkpoint is
-    # absent). The recorded AUC table uses the SIFT-descriptor weights
-    # via the staged path — see README quality section.
+    # (configs/synth_*_cached.yaml recipes; identity warm start is the
+    # fallback when the checkpoint is absent). dense_gray is preferred
+    # when its weights exist: grayscale CAR-HyNet over the detection
+    # pyramid itself — ~2.2x faster extraction and 3x smaller uploads
+    # (single-channel frames). The recorded AUC table uses the
+    # SIFT-descriptor weights via the staged path — see README.
+    variables = load_variables("gims_tpu_dense_gray.npz")
+    source = "dense_gray"
+    if variables is None:
+        variables = load_variables("gims_tpu_dense.npz")
+        source = "dense" if variables is not None else "dense_gray"
     matcher = FusedMatching({
         "sinkhorn_iterations": 20,
         "match_threshold": 0.02,
         "attention_dtype": "bfloat16",
         "use_pallas_sinkhorn": True,
         "fast_frontend": True,
-        "descriptor_source": "dense",
+        "descriptor_source": source,
         "init_scheme": "identity",
         "radius": 15, "percentile": 2, "min_size": 7,
-    }, variables=load_variables("gims_tpu_dense.npz"),
-        total_keypoints=12288)
+    }, variables=variables, total_keypoints=12288)
+
+    if source == "dense_gray":
+        # single-channel frames: 3x less tunnel traffic, and the device
+        # gray conversion is skipped (same BGR weights as cv2)
+        import cv2
+
+        pairs = [(cv2.cvtColor(a, cv2.COLOR_BGR2GRAY),
+                  cv2.cvtColor(b, cv2.COLOR_BGR2GRAY)) for a, b in pairs]
 
     # warmup / compile
     for p in pairs[:2]:

@@ -43,7 +43,7 @@ def main(argv=None, dgims=False):
                         help="TPU speed path: bf16 attention, Pallas OT, "
                              "linear 32x32 patch sampling")
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
-                        choices=["carhynet", "sift", "dense"],
+                        choices=["carhynet", "sift", "dense", "dense_gray"],
                         help="'sift' = host OpenCV descriptors (the in-env "
                              "substitute for the missing car_hynet.pth)")
     args = parser.parse_args(argv)

@@ -22,7 +22,7 @@ def main(argv=None):
     parser.add_argument("--agc_p", type=float, default=2)
     parser.add_argument("--agc_m", type=int, default=7)
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
-                        choices=["carhynet", "sift", "dense"])
+                        choices=["carhynet", "sift", "dense", "dense_gray"])
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--fused", action="store_true",
                         help="single-program pipeline (gims_tpu/fused.py): "

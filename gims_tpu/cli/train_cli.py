@@ -45,7 +45,7 @@ def main(argv=None):
     parser.add_argument("--fast", action="store_true",
                         help="fast TPU frontend (linear 32x32 sampling)")
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
-                        choices=["carhynet", "sift", "dense"])
+                        choices=["carhynet", "sift", "dense", "dense_gray"])
     parser.add_argument("--neg_cells", type=str, default=None,
                         choices=["corner", "dustbin"],
                         help="'corner' = reference loss parity (negatives "

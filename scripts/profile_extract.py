@@ -129,7 +129,25 @@ def main():
             im, h, w, budgets, fe, cv, car_model, dense_model)
         return de.sum()
 
-    print(f"full _extract_side (dense): {sync_time(f_extract, img_d, car_vars, h, w, budgets, fe)*1e3:.1f} ms")
+    print(f"full _extract_side (dense): {sync_time(f_extract, img_d, car_vars, h, w, budgets, fe)*1e3:.1f} ms", flush=True)
+
+    gray_model = CARHyNet(in_channels=1)
+    gray_dense = CARHyNet(dense=True, in_channels=1)
+    gray_vars = jax.device_put(gray_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1), jnp.float32)))
+    fe_gray = FrontendConfig(interpolation="linear", warp_size=32,
+                             descriptor_source="dense_gray")
+    img_gray = jax.device_put(jnp.asarray(
+        (0.114 * img[..., 0] + 0.587 * img[..., 1]
+         + 0.299 * img[..., 2]).astype(np.uint8)))
+
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+    def f_extract_gray(im, cv, h, w, budgets, fe):
+        kp, sc, va, de = fused._extract_side(
+            im, h, w, budgets, fe, cv, gray_model, gray_dense)
+        return de.sum()
+
+    print(f"full _extract_side (dense_gray, gray input): {sync_time(f_extract_gray, img_gray, gray_vars, h, w, budgets, fe_gray)*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
