@@ -118,6 +118,32 @@ def test_dense_gray_host_frontend_octave0_equals_octave1():
     np.testing.assert_allclose(d_oct_m1, d_oct_0, atol=1e-5)
 
 
+def test_fused_matching_dense_gray_contract():
+    """FusedMatching end-to-end with dense_gray on single-channel input."""
+    from gims_tpu.fused import FusedMatching
+    import cv2
+
+    img0 = _img(seed=11, h=96, w=128)
+    M = cv2.getRotationMatrix2D((64, 48), 8, 0.97)
+    H = np.eye(3, dtype=np.float32)
+    H[:2] = M
+    img1 = cv2.warpPerspective(img0, H, (128, 96))
+    g0 = cv2.cvtColor(img0, cv2.COLOR_BGR2GRAY)
+    g1 = cv2.cvtColor(img1, cv2.COLOR_BGR2GRAY)
+
+    m = FusedMatching({"fast_frontend": True,
+                       "descriptor_source": "dense_gray",
+                       "init_scheme": "identity"}, total_keypoints=256)
+    pred = m(g0, g1)
+    n0 = pred["keypoints0"].shape[1]
+    assert n0 > 30
+    assert pred["matches0"].shape == (1, n0)
+    m0 = pred["matches0"][0]
+    sel = m0 > -1
+    assert np.all(pred["matches1"][0][m0[sel]] == np.nonzero(sel)[0])
+    assert np.isfinite(pred["matching_scores0"]).all()
+
+
 def test_fused_extract_dense_agrees_across_dtypes():
     img = _img(seed=3)
     h, w = img.shape[:2]
