@@ -279,9 +279,11 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
 def fused_match_pair(matcher_variables, car_variables, car_model,
                      mcfg: MatcherConfig, acfg: AGCConfig,
                      fe: FrontendConfig, budgets,
-                     img0_u8, img1_u8, h: int, w: int, dense_model=None):
+                     img0_u8, img1_u8, h: int, w: int, dense_model=None,
+                     compact_transport: bool = False):
     """The one-program pipeline. Call under jit with static
-    (car_model, mcfg, acfg, fe, budgets, h, w, dense_model)."""
+    (car_model, mcfg, acfg, fe, budgets, h, w, dense_model,
+    compact_transport)."""
     kp0, sc0, va0, de0 = _extract_side(img0_u8, h, w, budgets, fe,
                                        car_variables, car_model, dense_model)
     kp1, sc1, va1, de1 = _extract_side(img1_u8, h, w, budgets, fe,
@@ -296,6 +298,20 @@ def fused_match_pair(matcher_variables, car_variables, car_model,
     out["keypoints1"] = kp1[None]
     out["scores0"] = sc0[None]
     out["scores1"] = sc1[None]
+    if compact_transport:
+        # The tunnel moves ~6 MB/s each way, so readout BYTES cost as much
+        # as kernel time: pack the per-pair outputs to ~0.2 MB (from ~0.7).
+        # Keypoints ride as 1/16-px fixed point (<= 4096 px images), match
+        # indices as int16 (buckets < 32768), scores as f16. collect()
+        # decodes; invalid rows (kpt sentinel 1e6) are dropped there anyway.
+        for s in ("0", "1"):
+            out["keypoints" + s] = jnp.clip(
+                out["keypoints" + s] * 16.0, 0, 65535
+            ).astype(jnp.uint16)
+            out["matches" + s] = out["matches" + s].astype(jnp.int16)
+            out["matching_scores" + s] = out["matching_scores" + s].astype(
+                jnp.float16)
+            out["scores" + s] = out["scores" + s].astype(jnp.float16)
     return out
 
 
@@ -351,8 +367,9 @@ class FusedMatching:
             else:
                 car_variables = DescriptorEngine(seed=seed).variables
         self.car_variables = jax.device_put(car_variables)
+        self.compact_transport = bool(config.get("compact_transport", True))
         self._jit = functools.partial(
-            jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11)
+            jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11, 12)
         )(fused_match_pair)
         self.timings = {}
 
@@ -364,6 +381,7 @@ class FusedMatching:
             self.variables, self.car_variables, self.car_model,
             self.mcfg, self.acfg, self.fe, budgets,
             jnp.asarray(img0), jnp.asarray(img1), h, w, self.dense_model,
+            self.compact_transport,
         )
 
     def __call__(self, img0, img1):
@@ -380,6 +398,13 @@ class FusedMatching:
                 "matching_scores0", "matching_scores1",
                 "keypoints0", "keypoints1", "scores0", "scores1"]
         host = jax.device_get({k: out[k] for k in keys})
+        if host["keypoints0"].dtype == np.uint16:  # compact transport
+            for s in ("0", "1"):
+                host["keypoints" + s] = (
+                    host["keypoints" + s].astype(np.float32) / 16.0)
+                host["matching_scores" + s] = (
+                    host["matching_scores" + s].astype(np.float32))
+                host["scores" + s] = host["scores" + s].astype(np.float32)
         kept0 = host["kept0"][0]
         kept1 = host["kept1"][0]
         new0, old0 = compact_indices(kept0)
