@@ -220,11 +220,13 @@ class DenseGrayDescriptorFrontend:
         self.variables = variables
         model = CARHyNet(dim_desc=dim_desc, dense=True, in_channels=1)
 
+        self._blur_cache = {}
+
         @functools.partial(jax.jit, static_argnums=(2, 3))
-        def _maps(vars_, image_u8, h, w):
+        def _maps(vars_, image_u8, h, w, blur=None):
             from gims_tpu.frontend.detect_device import gray_pyramid
 
-            octs = gray_pyramid(image_u8, h, w)
+            octs = gray_pyramid(image_u8, h, w, blur)
             first = 1 if len(octs) > 1 else 0
             chunks = []
             for o in range(first, len(octs)):
@@ -254,9 +256,14 @@ class DenseGrayDescriptorFrontend:
 
     def compute(self, image_u8_np: np.ndarray, kp: KeypointArrays, nb: int):
         """Host image + host keypoints -> (nb, dim_desc) device descs."""
+        from gims_tpu.frontend.detect_device import build_gray_blur
+
         h, w = image_u8_np.shape[:2]
         offsets, dims, first = self.meta(h, w)
-        buffer = self._maps(self.variables, jnp.asarray(image_u8_np), h, w)
+        if (h, w) not in self._blur_cache:
+            self._blur_cache[(h, w)] = build_gray_blur(h, w)
+        buffer = self._maps(self.variables, jnp.asarray(image_u8_np), h, w,
+                            self._blur_cache[(h, w)])
         rows, wts = sample_plan_gray(kp, offsets, dims, nb, first)
         return gather_descriptors(buffer, jnp.asarray(rows),
                                   jnp.asarray(wts))

@@ -72,13 +72,51 @@ def _sep_blur_hw(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     return x[0, :, :, 0]
 
 
-def gray_pyramid(image_u8: jnp.ndarray, h: int, w: int):
+def gray_kernels():
+    """1-D kernels of the detection pyramid blur chain: index 0 = the
+    initial blur to sigma on the doubled grid, 1..5 = incremental sigmas."""
+    sig_diff = math.sqrt(max(SIGMA**2 - 4 * 0.25, 0.01))
+    return [gaussian_kernel_1d(sig_diff)] + [
+        gaussian_kernel_1d(s) for s in blur_sigmas()[1:]
+    ]
+
+
+def build_gray_blur(h: int, w: int):
+    """Device band-matrix pytree for gray_pyramid(blur=...) at (h, w).
+
+    {"init": (bh, bw) for the doubled base, "oct": [per octave:
+    [(bh, bw) for kernels 1..5]]}. ~110 MB HBM at 800x600; built once per
+    process per image shape (matrices constructed on device — nothing
+    O(n^2) crosses the tunnel or bloats the executable).
+    """
+    from gims_tpu.frontend.blurmat import BlurMats
+
+    kerns = gray_kernels()
+    bm = BlurMats(kerns)
+    n_oct = num_octaves(2 * h, 2 * w)
+    oct_mats = []
+    hh, ww = 2 * h, 2 * w
+    init = (bm.get(hh, 0), bm.get(ww, 0))
+    for _o in range(n_oct):
+        oct_mats.append([(bm.get(hh, ki), bm.get(ww, ki))
+                         for ki in range(1, N_OCTAVE_LAYERS + 3)])
+        hh, ww = (hh + 1) // 2, (ww + 1) // 2
+    return {"init": init, "oct": oct_mats}
+
+
+def gray_pyramid(image_u8: jnp.ndarray, h: int, w: int, blur=None):
     """uint8 (H, W, 3) BGR — or an already-gray (H, W) — -> list of
     (6, H>>o, W>>o) gray octaves.
 
     Matches OpenCV SIFT's detection pyramid: BGR2GRAY, 2x linear
     upsample, initial blur to reach sigma on the doubled grid.
+
+    blur: optional build_gray_blur(h, w) pytree — blurs then run as
+    banded matmuls on the MXU (exact cv2 parity, ~5x the single-channel
+    conv path on TPU; see frontend/blurmat.py). Default: depthwise convs.
     """
+    from gims_tpu.frontend.blurmat import sep_blur_matmul
+
     if image_u8.ndim == 2:
         gray = image_u8.astype(jnp.float32)
     else:
@@ -87,16 +125,23 @@ def gray_pyramid(image_u8: jnp.ndarray, h: int, w: int):
                 + 0.299 * bgr[..., 2])
     base = upsample2x(gray[..., None])[..., 0]
     sig_diff = math.sqrt(max(SIGMA**2 - 4 * 0.25, 0.01))
-    base = _sep_blur_hw(base, jnp.asarray(gaussian_kernel_1d(sig_diff)))
+    if blur is not None:
+        base = sep_blur_matmul(base, *blur["init"])
+    else:
+        base = _sep_blur_hw(base, jnp.asarray(gaussian_kernel_1d(sig_diff)))
 
     sigs = blur_sigmas()
     kerns = [jnp.asarray(gaussian_kernel_1d(s)) for s in sigs]
     octaves = []
     img = base
-    for _o in range(num_octaves(2 * h, 2 * w)):
+    for o in range(num_octaves(2 * h, 2 * w)):
         layers = [img]
         for i in range(1, N_OCTAVE_LAYERS + 3):
-            layers.append(_sep_blur_hw(layers[-1], kerns[i]))
+            if blur is not None:
+                layers.append(
+                    sep_blur_matmul(layers[-1], *blur["oct"][o][i - 1]))
+            else:
+                layers.append(_sep_blur_hw(layers[-1], kerns[i]))
         octaves.append(jnp.stack(layers))
         img = layers[N_OCTAVE_LAYERS][::2, ::2]
     return octaves
@@ -211,14 +256,15 @@ def _orientation_maps(gauss):
 def detect_device_padded(image_u8: jnp.ndarray, h: int, w: int,
                          max_keypoints: int,
                          contrast_threshold: float = 0.001,
-                         edge_threshold: float = 80.0):
+                         edge_threshold: float = 80.0,
+                         blur=None):
     """Full device detection. Returns dict of padded (K,) arrays:
 
     pt (K, 2) input-image xy, size, angle, response (f32), octave, layer
     (i32, octave unpacked >= -1), scale (f32), valid (bool). K =
     max_keypoints. Jit this per (h, w, K).
     """
-    octaves = gray_pyramid(image_u8, h, w)
+    octaves = gray_pyramid(image_u8, h, w, blur)
     k_total = max_keypoints
 
     vals, attrs = [], []
@@ -290,6 +336,7 @@ def detect_device_padded(image_u8: jnp.ndarray, h: int, w: int,
 _jit_detect = functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))(
     detect_device_padded
 )
+_blur_cache = {}
 
 
 def detect_device(image_u8_np: np.ndarray, max_keypoints: int,
@@ -300,9 +347,12 @@ def detect_device(image_u8_np: np.ndarray, max_keypoints: int,
     from gims_tpu.frontend.sift import KeypointArrays
 
     h, w = image_u8_np.shape[:2]
+    if (h, w) not in _blur_cache:
+        _blur_cache[(h, w)] = build_gray_blur(h, w)
     out = _jit_detect(
         jnp.asarray(image_u8_np), h, w, int(max_keypoints),
         float(contrast_threshold), float(edge_threshold),
+        _blur_cache[(h, w)],
     )
     host = jax.device_get(out)
     m = np.asarray(host["valid"])

@@ -125,7 +125,7 @@ def _dense_sample(maps3, px, py, layer, valid):
 
 
 def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
-                  car_variables, car_model, dense_model=None):
+                  car_variables, car_model, dense_model=None, blur=None):
     """One image -> device keypoints/descriptors/masks (fixed shapes).
 
     dense_model set (descriptor_source='dense'): CAR-HyNet runs fully
@@ -148,7 +148,7 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
     image (3x less host->device traffic). Weights are trained in-repo
     against this exact geometry."""
     gray_desc = dense_model is not None and fe.descriptor_source == "dense_gray"
-    octs_gray = gray_pyramid(image_u8, h, w)
+    octs_gray = gray_pyramid(image_u8, h, w, blur)
     if dense_model is not None and fe.dense_dtype != "float32":
         ddt = jnp.dtype(fe.dense_dtype)
         car_variables = jax.tree_util.tree_map(
@@ -280,14 +280,17 @@ def fused_match_pair(matcher_variables, car_variables, car_model,
                      mcfg: MatcherConfig, acfg: AGCConfig,
                      fe: FrontendConfig, budgets,
                      img0_u8, img1_u8, h: int, w: int, dense_model=None,
-                     compact_transport: bool = False):
+                     compact_transport: bool = False, blur_mats=None):
     """The one-program pipeline. Call under jit with static
     (car_model, mcfg, acfg, fe, budgets, h, w, dense_model,
-    compact_transport)."""
+    compact_transport); blur_mats is the device band-matrix pytree from
+    build_gray_blur (MXU pyramid blurs)."""
     kp0, sc0, va0, de0 = _extract_side(img0_u8, h, w, budgets, fe,
-                                       car_variables, car_model, dense_model)
+                                       car_variables, car_model, dense_model,
+                                       blur_mats)
     kp1, sc1, va1, de1 = _extract_side(img1_u8, h, w, budgets, fe,
-                                       car_variables, car_model, dense_model)
+                                       car_variables, car_model, dense_model,
+                                       blur_mats)
     out = pipeline.forward_match(
         matcher_variables, mcfg, acfg,
         kp0[None], de0[None], va0[None],
@@ -368,6 +371,7 @@ class FusedMatching:
                 car_variables = DescriptorEngine(seed=seed).variables
         self.car_variables = jax.device_put(car_variables)
         self.compact_transport = bool(config.get("compact_transport", True))
+        self._blur = {}
         self._jit = functools.partial(
             jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11, 12)
         )(fused_match_pair)
@@ -375,13 +379,17 @@ class FusedMatching:
 
     def dispatch(self, img0, img1):
         """Async: upload + enqueue the program, return device outputs."""
+        from gims_tpu.frontend.detect_device import build_gray_blur
+
         h, w = img0.shape[:2]
         budgets = octave_budgets(h, w, self.total)
+        if (h, w) not in self._blur:
+            self._blur[(h, w)] = build_gray_blur(h, w)
         return self._jit(
             self.variables, self.car_variables, self.car_model,
             self.mcfg, self.acfg, self.fe, budgets,
             jnp.asarray(img0), jnp.asarray(img1), h, w, self.dense_model,
-            self.compact_transport,
+            self.compact_transport, self._blur[(h, w)],
         )
 
     def __call__(self, img0, img1):

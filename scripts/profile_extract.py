@@ -74,6 +74,17 @@ def main():
 
     print(f"gray_pyramid: {sync_time(f_gray, img_d, h, w)*1e3:.1f} ms")
 
+    from gims_tpu.frontend.detect_device import build_gray_blur
+
+    blur = build_gray_blur(h, w)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def f_gray_mm(im, h, w, blur=None):
+        return [o.sum() for o in gray_pyramid(im, h, w, blur)]
+
+    print(f"gray_pyramid (banded matmul): "
+          f"{sync_time(f_gray_mm, img_d, h, w, blur)*1e3:.1f} ms")
+
     @functools.partial(jax.jit, static_argnums=(1, 2))
     def f_ori(im, h, w):
         return [_orientation_maps(g).sum() for g in gray_pyramid(im, h, w)]
@@ -142,12 +153,13 @@ def main():
          + 0.299 * img[..., 2]).astype(np.uint8)))
 
     @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-    def f_extract_gray(im, cv, h, w, budgets, fe):
+    def f_extract_gray(im, cv, h, w, budgets, fe, blur=None):
         kp, sc, va, de = fused._extract_side(
-            im, h, w, budgets, fe, cv, gray_model, gray_dense)
+            im, h, w, budgets, fe, cv, gray_model, gray_dense, blur)
         return de.sum()
 
     print(f"full _extract_side (dense_gray, gray input): {sync_time(f_extract_gray, img_gray, gray_vars, h, w, budgets, fe_gray)*1e3:.1f} ms", flush=True)
+    print(f"full _extract_side (dense_gray + matmul blur): {sync_time(f_extract_gray, img_gray, gray_vars, h, w, budgets, fe_gray, blur)*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--match_threshold", type=float, default=0.02)
     ap.add_argument("--resize", type=int, nargs=2, default=[800, 600])
     ap.add_argument("--agc", type=float, nargs=3, default=[15, 2, 7])
+    ap.add_argument("--descriptor_source", default="sift",
+                    choices=["sift", "carhynet", "dense", "dense_gray"])
+    ap.add_argument("--fused", action="store_true",
+                    help="evaluate the fused single-program pipeline "
+                         "(device DoG detection + dense descriptors) — the "
+                         "exact configuration bench.py times")
     ap.add_argument("--out_json", default="output/quality_eval.json")
     args = ap.parse_args()
 
@@ -39,15 +45,39 @@ def main():
     from gims_tpu.api import Matching
     from gims_tpu.eval.homography import generate_benchmark, run_benchmark
 
-    matcher = Matching({
-        "weights_path": args.weights,
-        "sinkhorn_iterations": args.sinkhorn_iterations,
-        "match_threshold": args.match_threshold,
-        "max_keypoints": args.max_keypoints,
-        "descriptor_source": "sift",
-    })
     agc = {"radius": args.agc[0], "percentile": args.agc[1],
            "min_size": int(args.agc[2])}
+    if args.fused:
+        from gims_tpu.core.checkpoint import unflatten_npz
+        from gims_tpu.fused import FusedMatching
+
+        fused = FusedMatching({
+            "sinkhorn_iterations": args.sinkhorn_iterations,
+            "match_threshold": args.match_threshold,
+            "attention_dtype": "bfloat16",
+            "use_pallas_sinkhorn": True,
+            "fast_frontend": True,
+            "descriptor_source": args.descriptor_source,
+            **agc,
+        }, variables=unflatten_npz(args.weights),
+            total_keypoints=args.max_keypoints)
+
+        class _FusedAsMatching:
+            """evaluate_pair drives the data-dict contract; per-call AGC
+            knobs are fixed at fused construction (static program)."""
+
+            def __call__(self, data):
+                return fused(data["image0"][0], data["image1"][0])
+
+        matcher = _FusedAsMatching()
+    else:
+        matcher = Matching({
+            "weights_path": args.weights,
+            "sinkhorn_iterations": args.sinkhorn_iterations,
+            "match_threshold": args.match_threshold,
+            "max_keypoints": args.max_keypoints,
+            "descriptor_source": args.descriptor_source,
+        })
 
     regimes = {
         "synthetic": dict(source_dir=None, seed=3),
