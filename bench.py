@@ -8,18 +8,17 @@ eval knobs: sinkhorn_iterations=20, match_threshold=0.02, AGC r=15/p=2/m=7
 pairs (the environment ships no datasets); the keypoint budget is 12288,
 matching the reference's ~15k-keypoint regime.
 
-Two modes (GIMS_BENCH_MODE=staged|fused, default staged):
-- staged: api.Matching — host SIFT detect overlapped on a worker thread
-  with the device frontend + matcher. Fastest wall-clock on this host
-  because its two RPC streams (frontend thread + matcher thread) overlap
-  through the tunnel.
+Two modes (GIMS_BENCH_MODE=auto|staged|fused, default auto = fused when
+the dense_gray weights exist):
 - fused: gims_tpu/fused.py — ONE XLA program per pair (device DoG
-  detection, dense convolutional CAR-HyNet descriptors, AGC, GNN, OT),
-  two pairs in flight. Device time/pair ~0.97 s but image uploads
-  (~2.9 MB/pair at ~6 MB/s) serialize with compute on the single tunnel
-  stream, so wall is ~1.47 s/pair here; on local-PCIe hardware this mode
-  wins. It also produces ~4x the matches of the staged synth checkpoint
-  (trained dense weights).
+  detection, MXU banded-matmul pyramid blurs, grayscale dense
+  convolutional CAR-HyNet descriptors, AGC, GNN, OT, compact fixed-point
+  readout), two pairs in flight, single-channel uploads on a worker
+  thread. ~0.39 s/pair wall on the tunneled v5e (2.5 pairs/s, ~40x the
+  reference).
+- staged: api.Matching — host SIFT detect overlapped on a worker thread
+  with the device frontend + matcher (~1.2 s/pair; the host's single CPU
+  core caps it). Parity path for reference-style SIFT descriptors.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -188,7 +187,15 @@ def main():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-        mode = os.environ.get("GIMS_BENCH_MODE", "staged")
+        mode = os.environ.get("GIMS_BENCH_MODE", "auto")
+        if mode == "auto":
+            # fused (one XLA program/pair: device DoG + dense_gray
+            # CAR-HyNet + MXU pyramid blur) is the fast path when its
+            # trained weights exist; staged is the fallback
+            has_dg = os.path.exists(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "weights", "gims_tpu_dense_gray.npz"))
+            mode = "fused" if has_dg else "staged"
         pairs = make_images(13)
         if mode == "fused":
             n, elapsed, total_matches, extra = run_fused(pairs)
