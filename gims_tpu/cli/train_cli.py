@@ -42,6 +42,9 @@ def main(argv=None):
     parser.add_argument("--max_steps", type=int, default=-1)
     parser.add_argument("--carhynet_weights", type=str, default=None)
     parser.add_argument("--restore_path", type=str, default=None)
+    parser.add_argument("--init_weights", type=str, default=None,
+                        help="warm-start model params from an exported npz "
+                             "(fresh optimizer/schedule; for fine-tuning)")
     parser.add_argument("--fast", action="store_true",
                         help="fast TPU frontend (linear 32x32 sampling)")
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
@@ -109,7 +112,8 @@ def main(argv=None):
           n_devices=args.devices, carhynet_weights=args.carhynet_weights,
           max_steps=args.max_steps, fast_frontend=args.fast,
           restore_path=args.restore_path,
-          cache_features=args.cache_features)
+          cache_features=args.cache_features,
+          init_weights=args.init_weights)
 
 
 if __name__ == "__main__":

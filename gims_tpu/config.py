@@ -70,6 +70,11 @@ class MatcherConfig:
     # "identity" = zero-residual warm start (trunk starts as the identity,
     # scores start as descriptor similarity — see api.init_gmatcher_variables).
     init_scheme: str = "default"
+    # Rematerialize each GNN layer and Sinkhorn iteration in the backward
+    # pass (jax.checkpoint). Needed to train at eval-scale keypoint counts
+    # (N >= 4096): without it the 18-layer trunk stores ~N^2*4B of softmax
+    # residuals per attention call. No effect on inference.
+    remat: bool = False
     # Keypoint-normalization convention. "gims" replicates the reference's
     # shape-unpacking of NHWC images in normalize_keypoints (reference:
     # models/gmatcher.py:26-33 receives (B,H,W,3) so "height"=W and
@@ -198,6 +203,7 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
     op = raw.get("optimizer_params", {})
     dp = raw.get("dataset_params", {})
     ap = dp.get("augmentation_params", {})
+    fp = raw.get("frontend_params", {})
 
     matcher = _update(
         cfg.matcher,
@@ -209,6 +215,11 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         neg_loss_weight=tp.get("neg_loss_weight", cfg.matcher.neg_loss_weight),
         neg_cells=tp.get("neg_cells", cfg.matcher.neg_cells),
         init_scheme=tp.get("init_scheme", cfg.matcher.init_scheme),
+        remat=tp.get("remat", cfg.matcher.remat),
+        # training at N > FLASH_THRESHOLD must force "direct"/"flash":
+        # the Pallas kernel (the TPU "auto" pick) has no backward pass
+        attention_impl=tp.get("attention_impl", cfg.matcher.attention_impl),
+        attention_dtype=tp.get("attention_dtype", cfg.matcher.attention_dtype),
     )
     train = _update(
         cfg.train,
@@ -222,6 +233,19 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         val_images_count=tp.get("val_images_count", cfg.train.val_images_count),
         use_ema=tp.get("use_ema", cfg.train.use_ema),
         init_seed=tp.get("init_seed", cfg.train.init_seed),
+        max_keypoints=tp.get("max_keypoints", cfg.train.max_keypoints),
+        lastiter_every=tp.get("lastiter_every", cfg.train.lastiter_every),
+        minloss_every=tp.get("minloss_every", cfg.train.minloss_every),
+    )
+    frontend = _update(
+        cfg.frontend,
+        descriptor_source=fp.get("descriptor_source",
+                                 cfg.frontend.descriptor_source),
+        detector=fp.get("detector", cfg.frontend.detector),
+        dense_dtype=fp.get("dense_dtype", cfg.frontend.dense_dtype),
+        interpolation=fp.get("interpolation", cfg.frontend.interpolation),
+        warp_size=fp.get("warp_size", cfg.frontend.warp_size),
+        max_keypoints=fp.get("max_keypoints", cfg.frontend.max_keypoints),
     )
     optimizer = _update(
         cfg.optimizer,
@@ -256,6 +280,6 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         delaunay=raw.get("agc", {}).get("delaunay", cfg.agc.delaunay),
     )
     return GIMSConfig(
-        agc=agc, matcher=matcher, frontend=cfg.frontend, dataset=dataset,
+        agc=agc, matcher=matcher, frontend=frontend, dataset=dataset,
         optimizer=optimizer, train=train,
     )

@@ -74,7 +74,7 @@ class GMatcher(nn.Module):
         gnn = AttentionalGNN(
             cfg.descriptor_dim, layer_names, cfg.num_heads,
             cfg.use_layernorm, dtype=attn_dtype,
-            attn_impl=cfg.attention_impl, name="gnn",
+            attn_impl=cfg.attention_impl, remat=cfg.remat, name="gnn",
         )
 
         # Zero out pruned/padded tokens before anything runs: pad slots

@@ -198,11 +198,20 @@ class AttentionalGNN(nn.Module):
     use_layernorm: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, desc0, desc1, mask0, mask1, train: bool):
+        # remat: recompute each layer's attention in the backward pass
+        # instead of storing (B, H, N, M) softmax residuals — required to
+        # train at eval-scale N (static_argnums: `train` at position 5
+        # counting the module instance as 0).
+        layer_cls = (
+            nn.remat(AttentionalPropagation, static_argnums=(5,))
+            if self.remat else AttentionalPropagation
+        )
         for i, name in enumerate(self.layer_names):
-            layer = AttentionalPropagation(
+            layer = layer_cls(
                 self.feature_dim, self.num_heads, self.use_layernorm,
                 dtype=self.dtype, attn_impl=self.attn_impl, name=f"layer_{i}",
             )

@@ -52,6 +52,12 @@ def log_sinkhorn_iterations(
         v = log_nu - masked_logsumexp(Z + u[:, :, None], axis=1)
         return (u, v)
 
+    # checkpoint: backward-pass residuals per iteration are just (u, v)
+    # vectors — without this, AD saves the (B, M1, N1) logsumexp operand
+    # for every iteration (iters * |Z| bytes; OOM at eval-scale N).
+    # Free for forward-only use.
+    body = jax.checkpoint(body)
+
     u0 = jnp.zeros_like(log_mu)
     v0 = jnp.zeros_like(log_nu)
     u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))

@@ -78,9 +78,16 @@ def build_batch(frontend, pairs, max_keypoints, rng, pool=None):
         )
         rows_list.append(rows)
         valid_list.append(valid)
+    # Descriptors ride (and cache) as bf16 128-d halves: every frontend
+    # emits 256-d = concat([d, d]) duplicates (reference:
+    # utils/common.py:891), so storing one half at bf16 costs 4x less HBM
+    # (cached-feature fine-tuning at N=6144 would otherwise hold ~12 MB of
+    # f32 descriptors per batch). The train step reconstructs f32 256-d.
     return {
-        "kpts0": kp0, "desc0": de0, "valid0": va0,
-        "kpts1": kp1, "desc1": de1, "valid1": va1,
+        "kpts0": kp0, "desc0_h": de0[..., :128].astype(jnp.bfloat16),
+        "valid0": va0,
+        "kpts1": kp1, "desc1_h": de1[..., :128].astype(jnp.bfloat16),
+        "valid1": va1,
         "gt_rows": jnp.stack(rows_list),
         "gt_valid": jnp.stack(valid_list),
     }
@@ -160,7 +167,7 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
           n_devices: int = 1, carhynet_weights: Optional[str] = None,
           max_steps: int = -1, fast_frontend: bool = False,
           restore_path: Optional[str] = None, cache_features: bool = False,
-          log_fn=print):
+          init_weights: Optional[str] = None, log_fn=print):
     """Main loop. Returns the final TrainState."""
     tcfg = cfg.train
     if fast_frontend:
@@ -216,6 +223,18 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
         log_fn(f"[train] resumed {restore_path}: epoch {r_epoch} "
                f"iter {r_it} (opt step {int(state.step)})")
     else:
+        if init_weights:
+            # Warm start from exported npz weights (fine-tuning): model
+            # params/batch_stats come from the file, the optimizer and LR
+            # schedule start fresh (unlike --restore_path, which resumes
+            # the full optimizer state and counters).
+            loaded = ckpt_io.unflatten_npz(init_weights)
+            variables = {
+                "params": loaded["params"],
+                "batch_stats": loaded.get(
+                    "batch_stats", variables.get("batch_stats", {})),
+            }
+            log_fn(f"[train] warm start from {init_weights}")
         state, tx = step_mod.create_train_state(cfg, variables, num_batches)
 
     image_shape = (cfg.dataset.image_height, cfg.dataset.image_width)

@@ -128,6 +128,14 @@ def make_train_step(cfg: GIMSConfig, tx, image_shape, axis_name=None):
         return jnp.concatenate([d, d], axis=-1)
 
     def step(state: TrainState, batch):
+        if "desc0_h" in batch:
+            # bf16 128-d halves -> f32 256-d duplicated (see
+            # loop.build_batch); matches _normalize_duplicate's output
+            # layout for already-normalized descriptors.
+            batch = dict(batch)
+            for s in ("0", "1"):
+                d = batch.pop(f"desc{s}_h").astype(jnp.float32)
+                batch[f"desc{s}"] = jnp.concatenate([d, d], axis=-1)
         if "homography" in batch:
             batch = dict(batch)
             batch["desc0"] = _norm_dup(batch.pop("desc0_u8"))

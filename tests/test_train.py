@@ -238,15 +238,14 @@ def test_fused_raw_step_matches_classic():
     batch_a = build_batch(fe, pairs, nb, np.random.RandomState(5))
     batch_b = build_batch_raw(cfg.frontend, pairs, nb,
                               np.random.RandomState(5))
-    np.testing.assert_allclose(np.asarray(batch_a["desc0"]),
-                               np.asarray(jnp.concatenate([
-                                   batch_b["desc0_u8"],
-                                   batch_b["desc0_u8"]], -1) /
-                                   jnp.maximum(jnp.linalg.norm(
-                                       batch_b["desc0_u8"].astype(
-                                           jnp.float32),
-                                       axis=-1, keepdims=True), 1e-12)),
-                               atol=1e-5)
+    # classic batches now carry bf16 128-d halves (loop.build_batch)
+    np.testing.assert_allclose(
+        np.asarray(batch_a["desc0_h"].astype(jnp.float32)),
+        np.asarray(batch_b["desc0_u8"] /
+                   jnp.maximum(jnp.linalg.norm(
+                       batch_b["desc0_u8"].astype(jnp.float32),
+                       axis=-1, keepdims=True), 1e-12)),
+        atol=4e-3)
 
     variables = init_gmatcher_variables(cfg.matcher)
     state_a, tx_a = step_mod.create_train_state(cfg, variables, 10)
@@ -254,12 +253,13 @@ def test_fused_raw_step_matches_classic():
     sa, ma = step(state_a, batch_a)
     state_b, _ = step_mod.create_train_state(cfg, variables, 10)
     sb, mb = step(state_b, batch_b)
+    # tolerance: classic-path descriptors round through bf16 halves
     np.testing.assert_allclose(float(ma["total_loss"]),
-                               float(mb["total_loss"]), rtol=1e-5)
+                               float(mb["total_loss"]), rtol=2e-2)
     for a, b in zip(jax.tree_util.tree_leaves(sa.params),
                     jax.tree_util.tree_leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=5e-2, atol=2e-4)
 
 
 def test_multichip_dp_step_matches_single(rng):
@@ -314,3 +314,55 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_remat_step_matches_plain(rng):
+    """remat=True must be numerically equivalent (it only changes what the
+    backward pass stores, not the math)."""
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    batch = _tiny_batch(rng, 1)
+    variables = init_gmatcher_variables(cfg.matcher)
+    state_a, tx = step_mod.create_train_state(cfg, variables, 10)
+    step_a = jax.jit(step_mod.make_train_step(cfg, tx, (480, 640)))
+    sa, ma = step_a(state_a, batch)
+
+    cfg_r = dataclasses.replace(
+        cfg, matcher=dataclasses.replace(cfg.matcher, remat=True))
+    state_b, tx_b = step_mod.create_train_state(cfg_r, variables, 10)
+    step_b = jax.jit(step_mod.make_train_step(cfg_r, tx_b, (480, 640)))
+    sb, mb = step_b(state_b, batch)
+
+    np.testing.assert_allclose(float(ma["total_loss"]),
+                               float(mb["total_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(sa.params),
+                    jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_load_config_train_and_frontend_params(tmp_path):
+    from gims_tpu.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "train_params:\n"
+        "  max_keypoints: 6144\n"
+        "  remat: true\n"
+        "  lastiter_every: 500\n"
+        "  minloss_every: 100\n"
+        "frontend_params:\n"
+        "  descriptor_source: dense_gray\n"
+        "  detector: device\n"
+        "agc:\n"
+        "  radius: 15\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.train.max_keypoints == 6144
+    assert cfg.matcher.remat is True
+    assert cfg.train.lastiter_every == 500
+    assert cfg.train.minloss_every == 100
+    assert cfg.frontend.descriptor_source == "dense_gray"
+    assert cfg.frontend.detector == "device"
+    assert cfg.agc.radius == 15
