@@ -76,8 +76,12 @@ def run_fused(pairs):
     # pyramid itself — ~2.2x faster extraction and 3x smaller uploads
     # (single-channel frames). The recorded AUC table uses the
     # SIFT-descriptor weights via the staged path — see README.
-    variables = load_variables("gims_tpu_dense_gray.npz")
+    # prefer the eval-regime fine-tuned weights (800x600 @ 6144 budget,
+    # trained at the exact bench operating point) when they exist
+    variables = load_variables("gims_tpu_dense_gray_ft800.npz")
     source = "dense_gray"
+    if variables is None:
+        variables = load_variables("gims_tpu_dense_gray.npz")
     if variables is None:
         variables = load_variables("gims_tpu_dense.npz")
         source = "dense" if variables is not None else "dense_gray"
@@ -90,7 +94,8 @@ def run_fused(pairs):
         "descriptor_source": source,
         "init_scheme": "identity",
         "radius": 15, "percentile": 2, "min_size": 7,
-    }, variables=variables, total_keypoints=12288)
+    }, variables=variables,
+        total_keypoints=int(os.environ.get("GIMS_BENCH_KPTS", "12288")))
 
     if source == "dense_gray":
         # single-channel frames: 3x less tunnel traffic, and the device

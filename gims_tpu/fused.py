@@ -280,11 +280,12 @@ def fused_match_pair(matcher_variables, car_variables, car_model,
                      mcfg: MatcherConfig, acfg: AGCConfig,
                      fe: FrontendConfig, budgets,
                      img0_u8, img1_u8, h: int, w: int, dense_model=None,
-                     compact_transport: bool = False, blur_mats=None):
+                     compact_transport: bool = False, blur_mats=None,
+                     compact_to=None):
     """The one-program pipeline. Call under jit with static
     (car_model, mcfg, acfg, fe, budgets, h, w, dense_model,
-    compact_transport); blur_mats is the device band-matrix pytree from
-    build_gray_blur (MXU pyramid blurs)."""
+    compact_transport, compact_to); blur_mats is the device band-matrix
+    pytree from build_gray_blur (MXU pyramid blurs)."""
     kp0, sc0, va0, de0 = _extract_side(img0_u8, h, w, budgets, fe,
                                        car_variables, car_model, dense_model,
                                        blur_mats)
@@ -296,6 +297,8 @@ def fused_match_pair(matcher_variables, car_variables, car_model,
         kp0[None], de0[None], va0[None],
         kp1[None], de1[None], va1[None],
         image_shape=(h, w),
+        compact_to=compact_to,
+        scores0=sc0[None], scores1=sc1[None],
     )
     out["keypoints0"] = kp0[None]
     out["keypoints1"] = kp1[None]
@@ -371,9 +374,13 @@ class FusedMatching:
                 car_variables = DescriptorEngine(seed=seed).variables
         self.car_variables = jax.device_put(car_variables)
         self.compact_transport = bool(config.get("compact_transport", True))
+        # trunk bucket after AGC kept-compaction (None = no compaction).
+        # At the eval knobs AGC keeps ~half the detection budget, so
+        # compact_to ~= 2/3 * total buys a ~2x cheaper trunk + OT.
+        self.compact_to = config.get("compact_to")
         self._blur = {}
         self._jit = functools.partial(
-            jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11, 12)
+            jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11, 12, 14)
         )(fused_match_pair)
         self.timings = {}
 
@@ -389,7 +396,7 @@ class FusedMatching:
             self.variables, self.car_variables, self.car_model,
             self.mcfg, self.acfg, self.fe, budgets,
             jnp.asarray(img0), jnp.asarray(img1), h, w, self.dense_model,
-            self.compact_transport, self._blur[(h, w)],
+            self.compact_transport, self._blur[(h, w)], self.compact_to,
         )
 
     def __call__(self, img0, img1):

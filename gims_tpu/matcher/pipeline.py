@@ -58,6 +58,65 @@ def percentile_rank(num_valid: int, percentile: float) -> int:
     return k
 
 
+def _compact_side(kpts, desc, adj, kept, scores, nc: int):
+    """Gather the kept keypoints of one side into a static (B, nc) bucket.
+
+    AGC keeps ~half the budget at the eval knobs, so the trunk + OT —
+    whose cost is quadratic in the bucket — can run on a bucket sized for
+    the KEPT set instead of the detection budget. Order: kept first, by
+    detection score descending (overflow beyond nc drops the lowest-score
+    kept keypoints). Returns (idx (B,nc), kpts_c, desc_c, adj_c, kept_c).
+    """
+    b, n = kept.shape
+    sc = jnp.zeros_like(kept, jnp.float32) if scores is None else scores
+    key = jnp.where(kept, sc, -jnp.inf)
+    idx = jnp.argsort(-key, axis=1, stable=True)[:, :nc]  # (B, nc)
+    bi = jnp.arange(b)[:, None]
+    kept_c = kept[bi, idx] & (
+        jnp.arange(nc)[None, :] < jnp.sum(kept, axis=1, keepdims=True)
+    )
+    kpts_c = kpts[bi, idx]
+    desc_c = desc[bi, idx]
+    adj_c = jnp.take_along_axis(adj, idx[:, :, None], axis=1)
+    adj_c = jnp.take_along_axis(adj_c, idx[:, None, :], axis=2)
+    return idx, kpts_c, desc_c, adj_c, kept_c
+
+
+def _scatter_back(ext, idx0, idx1, kept0_c, kept1_c, nb0, nb1,
+                  mdesc0=None, mdesc1=None):
+    """Scatter compacted-trunk outputs back to the padded index space."""
+    b = idx0.shape[0]
+    bi = jnp.arange(b)[:, None]
+
+    def one(matches_c, mscores_c, idx_self, idx_other, kept_c, nb_self):
+        m = jnp.clip(matches_c, 0, None)
+        orig = jnp.where(matches_c >= 0,
+                         jnp.take_along_axis(idx_other, m, axis=1), -1)
+        matches = jnp.full((b, nb_self), -1, jnp.int32)
+        matches = matches.at[bi, idx_self].set(orig.astype(jnp.int32))
+        mscores = jnp.zeros((b, nb_self), jnp.float32)
+        mscores = mscores.at[bi, idx_self].set(mscores_c)
+        kept = jnp.zeros((b, nb_self), bool).at[bi, idx_self].set(kept_c)
+        return matches, mscores, kept
+
+    matches0, mscores0, kept0 = one(
+        ext["matches0"], ext["matching_scores0"], idx0, idx1, kept0_c, nb0)
+    matches1, mscores1, kept1 = one(
+        ext["matches1"], ext["matching_scores1"], idx1, idx0, kept1_c, nb1)
+    out = {
+        "matches0": matches0, "matches1": matches1,
+        "matching_scores0": mscores0, "matching_scores1": mscores1,
+        "kept0": kept0, "kept1": kept1,
+    }
+    if mdesc0 is not None:
+        d = mdesc0.shape[-1]
+        out["mdesc0"] = jnp.zeros((b, nb0, d), mdesc0.dtype).at[
+            bi, idx0].set(mdesc0)
+        out["mdesc1"] = jnp.zeros((b, nb1, d), mdesc1.dtype).at[
+            bi, idx1].set(mdesc1)
+    return out
+
+
 def forward_match(
     variables,
     mcfg: MatcherConfig,
@@ -68,11 +127,18 @@ def forward_match(
     k0=None, k1=None,
     adj0=None, adj1=None,  # optional precomputed adjacency (Delaunay path)
     radius=None, min_size=None,  # optional traced AGC knobs
+    compact_to=None,      # static int: trunk bucket after AGC compaction
+    scores0=None, scores1=None,  # detection scores (compaction order)
 ):
     """Inference for a batch of pairs. All arrays padded to buckets.
 
     Returns dict with padded matches/scores plus kept masks (host code
     compacts them to the reference's dict contract, see api.py).
+
+    compact_to: when set (and smaller than the bucket), the trunk + OT run
+    on a compacted kept-only bucket of that size — quadratic savings when
+    AGC prunes aggressively; results are scattered back so the output
+    contract is unchanged.
     """
     if adj0 is None and adj1 is None and kpts0.shape == kpts1.shape:
         # same bucket on both sides: one batched AGC over the stacked pair
@@ -102,6 +168,15 @@ def forward_match(
             kept1 = valid1
 
     h, w = image_shape
+    nb0, nb1 = kpts0.shape[1], kpts1.shape[1]
+    if compact_to is not None and compact_to < max(nb0, nb1):
+        nc = int(compact_to)
+        idx0, kpts0, desc0, adj0, kept0_c = _compact_side(
+            kpts0, desc0, adj0, kept0, scores0, nc)
+        idx1, kpts1, desc1, adj1, kept1_c = _compact_side(
+            kpts1, desc1, adj1, kept1, scores1, nc)
+        kept0, kept1 = kept0_c, kept1_c
+
     kpts0n = normalize_keypoints(kpts0, h, w, mcfg.normalization)
     kpts1n = normalize_keypoints(kpts1, h, w, mcfg.normalization)
 
@@ -112,6 +187,9 @@ def forward_match(
     ext = sinkhorn.extract_matches(
         out["Z"], kept0, kept1, mcfg.match_threshold
     )
+    if compact_to is not None and compact_to < max(nb0, nb1):
+        return _scatter_back(ext, idx0, idx1, kept0, kept1, nb0, nb1,
+                             out["mdesc0"], out["mdesc1"])
     return {
         **ext,
         "kept0": kept0,

@@ -46,3 +46,18 @@ def test_fused_end_to_end_contract():
     # matched pairs should mostly satisfy the ground-truth homography
     # (random-weight matcher: just require the set is not empty and finite)
     assert np.isfinite(pred["matching_scores0"]).all()
+
+
+def test_fused_compact_to_contract():
+    """compact_to in the fused program: same contract, mutual-consistent
+    matches in the compacted output space."""
+    img0, img1, H = _pair()
+    m = FusedMatching({"fast_frontend": True, "compact_to": 192},
+                      total_keypoints=256)
+    pred = m(img0, img1)
+    n0 = pred["keypoints0"].shape[1]
+    assert 0 < n0 <= 192
+    m0 = pred["matches0"][0]
+    sel = m0 > -1
+    assert np.all(pred["matches1"][0][m0[sel]] == np.nonzero(sel)[0])
+    assert np.isfinite(pred["matching_scores0"]).all()

@@ -271,3 +271,63 @@ def test_training_forward_losses_and_grads(rng):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_pipeline_compact_to_parity(rng):
+    """compact_to large enough to hold every kept keypoint must reproduce
+    the uncompacted results (trunk math is permutation-equivariant up to
+    float rounding); overflow must drop the lowest-score kept keypoints."""
+    mcfg = _mcfg()
+    acfg = AGCConfig(radius=60.0, percentile=10.0, min_size=3)
+    variables = _init_vars(mcfg)
+    n0, n1 = 40, 55
+    nb = 64
+    kp0, de0, v0, kp1, de1, v1 = _random_pair(rng, n0, n1, 64, 64)
+
+    def pad(a, fill):
+        return np.concatenate(
+            [a, np.full((nb - a.shape[0],) + a.shape[1:], fill, a.dtype)]
+        )
+
+    args = (
+        jnp.asarray(pad(kp0, 1e6))[None], jnp.asarray(pad(de0, 0))[None],
+        jnp.asarray(pad(v0, False))[None],
+        jnp.asarray(pad(kp1, 1e6))[None], jnp.asarray(pad(de1, 0))[None],
+        jnp.asarray(pad(v1, False))[None],
+    )
+    kw = dict(
+        image_shape=(480, 640),
+        k0=jnp.asarray([pipeline.percentile_rank(n0, acfg.percentile)]),
+        k1=jnp.asarray([pipeline.percentile_rank(n1, acfg.percentile)]),
+    )
+    scores = (jnp.asarray(pad(
+        rng.rand(n0).astype(np.float32) + 0.1, 0.0))[None],
+        jnp.asarray(pad(rng.rand(n1).astype(np.float32) + 0.1, 0.0))[None])
+
+    base = {k: np.asarray(v) for k, v in pipeline.forward_match(
+        variables, mcfg, acfg, *args, **kw).items()}
+    comp = {k: np.asarray(v) for k, v in pipeline.forward_match(
+        variables, mcfg, acfg, *args, **kw, compact_to=56,
+        scores0=scores[0], scores1=scores[1]).items()}
+
+    np.testing.assert_array_equal(base["kept0"], comp["kept0"])
+    np.testing.assert_array_equal(base["kept1"], comp["kept1"])
+    np.testing.assert_array_equal(base["matches0"], comp["matches0"])
+    np.testing.assert_array_equal(base["matches1"], comp["matches1"])
+    np.testing.assert_allclose(base["matching_scores0"],
+                               comp["matching_scores0"], rtol=2e-3, atol=1e-4)
+    # mdesc rows for kept keypoints survive the round trip
+    k = base["kept0"][0]
+    np.testing.assert_allclose(base["mdesc0"][0][k], comp["mdesc0"][0][k],
+                               rtol=2e-3, atol=1e-4)
+
+    # overflow: a tiny compact bucket keeps only the top-score kept rows
+    tiny = {k: np.asarray(v) for k, v in pipeline.forward_match(
+        variables, mcfg, acfg, *args, **kw, compact_to=16,
+        scores0=scores[0], scores1=scores[1]).items()}
+    assert tiny["kept0"][0].sum() <= 16
+    sc0 = np.asarray(scores[0][0])
+    kept_scores = sc0[tiny["kept0"][0]]
+    dropped = base["kept0"][0] & ~tiny["kept0"][0]
+    if dropped.any() and tiny["kept0"][0].any():
+        assert kept_scores.min() >= sc0[dropped].max()
