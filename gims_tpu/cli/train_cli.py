@@ -59,6 +59,11 @@ def main(argv=None):
                         help="'identity' = zero-residual warm start: the "
                              "trunk starts as the identity and scores as "
                              "scaled descriptor similarity")
+    parser.add_argument("--fused_e2e", action="store_true",
+                        help="end-to-end fused training: device DoG "
+                             "detection + dense_gray descriptor CNN learn "
+                             "jointly with the matcher through the exact "
+                             "fused inference program")
     parser.add_argument("--cache_features", action="store_true",
                         help="compute each batch's host features once and "
                              "reuse across epochs (single-core hosts: ~6x "
@@ -113,7 +118,8 @@ def main(argv=None):
           max_steps=args.max_steps, fast_frontend=args.fast,
           restore_path=args.restore_path,
           cache_features=args.cache_features,
-          init_weights=args.init_weights)
+          init_weights=args.init_weights,
+          fused_e2e=args.fused_e2e)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,138 @@
+"""End-to-end fused training: the descriptor CNN learns jointly with the
+matcher THROUGH the exact single-program pipeline that inference runs.
+
+The staged trainer (train/step.py) treats the frontend as fixed: host (or
+cached) features in, matcher gradients out. This step instead takes the
+raw grayscale image pair + homography and runs the fused extraction
+(fused._extract_side: device DoG detection on the gray pyramid, dense
+convolutional CAR-HyNet maps, bilinear descriptor sampling) INSIDE the
+jitted loss, so gradients flow through the descriptor samples into the
+dense CNN while the matcher trains on the exact keypoint distribution and
+descriptor geometry the fused eval program produces. Detection indices
+(top-k, Newton offsets) depend only on the fixed gray pyramid — no
+gradient path, no stop_gradient needed.
+
+Replaces the reference's two-stage recipe (pretrained car_hynet.pth +
+separate GMatcher training, reference: train.py:39 +
+carhynet/models.py:649-653) with task-supervised joint training — the
+in-env answer to the absent pretrained descriptor checkpoint.
+
+Ground truth (reprojection matching) is computed in-graph from the pair
+homography, so the host uploads only two gray frames + a 3x3 matrix per
+step (and the cached-feature trainer can keep whole epochs device-resident
+at ~1 MB/pair).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gims_tpu.config import GIMSConfig
+from gims_tpu.matcher import pipeline
+from gims_tpu.train import gt as gt_mod
+from gims_tpu.train import step as step_mod
+
+
+def joint_variables(cfg: GIMSConfig, matcher_vars, car_vars):
+    """Pack matcher + descriptor-CNN variables into one train tree."""
+    return {
+        "params": {
+            "gmatcher": matcher_vars["params"],
+            "carhynet": car_vars["params"],
+        },
+        "batch_stats": {
+            "gmatcher": matcher_vars.get("batch_stats", {}),
+            "carhynet": car_vars.get("batch_stats", {}),
+        },
+    }
+
+
+def split_joint(params, batch_stats):
+    """Inverse of joint_variables: (matcher_vars, car_vars)."""
+    return (
+        {"params": params["gmatcher"],
+         "batch_stats": batch_stats.get("gmatcher", {})},
+        {"params": params["carhynet"],
+         "batch_stats": batch_stats.get("carhynet", {})},
+    )
+
+
+def make_fused_e2e_train_step(cfg: GIMSConfig, tx, image_shape, budgets,
+                              blur_mats, car_model, dense_model,
+                              axis_name=None):
+    """step(state, batch) -> (state, metrics).
+
+    batch: img0_u8 (B, H, W) uint8 gray, img1_u8, homography (B, 3, 3).
+    Requires batch_size 1 per device (the fused extraction is per-image;
+    B=1 matches the reference's batch_size, configs/coco_config.yaml:6).
+    """
+    from gims_tpu.fused import _extract_side
+
+    mcfg, acfg = cfg.matcher, cfg.agc
+    h, w = image_shape
+    import dataclasses
+
+    # training keeps the CNN in f32 (grads + optimizer moments); eval
+    # casts the trained weights to bf16 (FrontendConfig.dense_dtype)
+    fe = dataclasses.replace(cfg.frontend, descriptor_source="dense_gray",
+                             dense_dtype="float32")
+
+    def step(state: step_mod.TrainState, batch):
+        img0 = batch["img0_u8"]
+        img1 = batch["img1_u8"]
+        Hmat = batch["homography"]
+        assert img0.shape[0] == 1, "fused e2e step is per-pair (B=1)"
+
+        def loss_fn(params):
+            car_vars = {"params": params["carhynet"],
+                        "batch_stats": state.batch_stats["carhynet"]}
+            kp0, _sc0, va0, de0 = _extract_side(
+                img0[0], h, w, budgets, fe, car_vars, None,
+                dense_model, blur_mats)
+            kp1, _sc1, va1, de1 = _extract_side(
+                img1[0], h, w, budgets, fe, car_vars, None,
+                dense_model, blur_mats)
+            m0, m1 = gt_mod.find_matches(
+                kp0, kp1, Hmat[0], va0, va1, dist_thresh=3.0, n_iters=1)
+            rows, row_valid = gt_mod.build_gt_rows(
+                m0, m1, va0, va1, batch_index=0)
+            total, (pos, neg, updates) = pipeline.training_forward(
+                {"params": params["gmatcher"],
+                 "batch_stats": state.batch_stats["gmatcher"]},
+                mcfg, acfg,
+                kp0[None], de0[None], va0[None],
+                kp1[None], de1[None], va1[None],
+                rows, row_valid, image_shape,
+            )
+            return total, (pos, neg, updates)
+
+        (total, (pos, neg, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        metrics = {"total_loss": total, "pos_loss": pos, "neg_loss": neg,
+                   "vec": jnp.stack([pos, neg, total])}
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+            updates = jax.lax.pmean(updates, axis_name)
+
+        upd, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        ema_params, ema_updates = state.ema_params, state.ema_updates
+        if ema_params is not None:
+            ema_params, ema_updates = step_mod.ema_update(
+                ema_params, params, ema_updates)
+        new_batch_stats = dict(state.batch_stats)
+        new_batch_stats["gmatcher"] = updates.get(
+            "batch_stats", state.batch_stats["gmatcher"])
+        return state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_batch_stats,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            ema_updates=ema_updates,
+        ), metrics
+
+    return step

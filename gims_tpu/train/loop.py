@@ -162,12 +162,29 @@ def test_model(matcher: Matching, val_dataset, val_count: int, agc=None,
     return results
 
 
+def build_batch_e2e(pairs):
+    """Fused end-to-end batch: gray uint8 frames + homography only (the
+    fused train step detects/describes in-graph — train/fused_step.py)."""
+    import cv2
+
+    assert len(pairs) == 1, "fused e2e trains per-pair (B=1)"
+    orig, warped, H = pairs[0]
+    g0 = cv2.cvtColor(orig, cv2.COLOR_BGR2GRAY)
+    g1 = cv2.cvtColor(warped, cv2.COLOR_BGR2GRAY)
+    return {
+        "img0_u8": jnp.asarray(g0[None]),
+        "img1_u8": jnp.asarray(g1[None]),
+        "homography": jnp.asarray(H.astype(np.float32)[None]),
+    }
+
+
 def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
           save_dir: Optional[str] = None, limit: int = -1,
           n_devices: int = 1, carhynet_weights: Optional[str] = None,
           max_steps: int = -1, fast_frontend: bool = False,
           restore_path: Optional[str] = None, cache_features: bool = False,
-          init_weights: Optional[str] = None, log_fn=print):
+          init_weights: Optional[str] = None, fused_e2e: bool = False,
+          log_fn=print):
     """Main loop. Returns the final TrainState."""
     tcfg = cfg.train
     if fast_frontend:
@@ -192,6 +209,15 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     variables = init_gmatcher_variables(
         cfg.matcher, seed=tcfg.init_seed, scheme=cfg.matcher.init_scheme
     )
+    if fused_e2e:
+        from gims_tpu.train import fused_step as fstep_mod
+
+        if frontend.engine is None or cfg.frontend.descriptor_source \
+                != "dense_gray":
+            raise ValueError("fused_e2e requires descriptor_source="
+                             "'dense_gray'")
+        variables = fstep_mod.joint_variables(
+            cfg, variables, frontend.engine.variables)
 
     if train_dataset is None:
         coco_dir = os.path.join(cfg.dataset.dataset_path, "train2017")
@@ -215,7 +241,7 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     start_epoch = tcfg.start_epoch
     if restore_path:
         state, tx, r_epoch, r_it = restore_train_state(
-            cfg, restore_path, num_batches
+            cfg, restore_path, num_batches, variables=variables
         )
         # iter == -1 marks an end-of-epoch checkpoint (last/best);
         # anything else resumes the same epoch from its start.
@@ -229,16 +255,52 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
             # schedule start fresh (unlike --restore_path, which resumes
             # the full optimizer state and counters).
             loaded = ckpt_io.unflatten_npz(init_weights)
-            variables = {
+            warm = {
                 "params": loaded["params"],
                 "batch_stats": loaded.get(
                     "batch_stats", variables.get("batch_stats", {})),
             }
+            if fused_e2e and "gmatcher" not in loaded["params"]:
+                # matcher-only export: keep the engine's CNN variables
+                variables["params"]["gmatcher"] = warm["params"]
+                variables["batch_stats"]["gmatcher"] = warm["batch_stats"]
+            else:
+                variables = warm
             log_fn(f"[train] warm start from {init_weights}")
         state, tx = step_mod.create_train_state(cfg, variables, num_batches)
 
     image_shape = (cfg.dataset.image_height, cfg.dataset.image_width)
-    if n_devices > 1:
+    if fused_e2e:
+        from gims_tpu.carhynet.model import CARHyNet
+        from gims_tpu.frontend.detect_device import build_gray_blur
+        from gims_tpu.fused import FusedMatching, octave_budgets
+
+        if n_devices > 1:
+            raise NotImplementedError("fused_e2e is single-device for now")
+        budgets = octave_budgets(*image_shape, tcfg.max_keypoints)
+        blur_mats = build_gray_blur(*image_shape)
+        dense_model = CARHyNet(dense=True, in_channels=1)
+        step_fn = jax.jit(fstep_mod.make_fused_e2e_train_step(
+            cfg, tx, image_shape, budgets, blur_mats, None, dense_model))
+        # validation runs the REAL fused inference program with the
+        # current weights (bf16 dense maps, like bench/eval)
+        fused_eval = FusedMatching({
+            "sinkhorn_iterations": cfg.matcher.sinkhorn_iterations,
+            "match_threshold": cfg.matcher.match_threshold,
+            "attention_dtype": "bfloat16",
+            "fast_frontend": True,
+            "descriptor_source": "dense_gray",
+            "radius": cfg.agc.radius, "percentile": cfg.agc.percentile,
+            "min_size": cfg.agc.min_size,
+        }, variables=init_gmatcher_variables(cfg.matcher),
+            total_keypoints=tcfg.max_keypoints)
+
+        class _FusedEval:
+            def __call__(self, data):
+                return fused_eval(data["image0"][0], data["image1"][0])
+
+        eval_matcher = _FusedEval()
+    elif n_devices > 1:
         from jax.sharding import Mesh
 
         mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
@@ -248,7 +310,8 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     else:
         step_fn = jax.jit(step_mod.make_train_step(cfg, tx, image_shape))
 
-    eval_matcher = Matching(cfg, variables=variables, frontend=frontend)
+    eval_matcher = (eval_matcher if fused_e2e else
+                    Matching(cfg, variables=variables, frontend=frontend))
 
     best_val_score = 1e-10
     best_min_loss = 1e9
@@ -286,7 +349,9 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
         t1 = time.time()
         pairs = [train_dataset[int(i)] for i in idxs]
         t2 = time.time()
-        if fused_sift:
+        if fused_e2e:
+            batch = build_batch_e2e(pairs)
+        elif fused_sift:
             batch = build_batch_raw(cfg.frontend, pairs, tcfg.max_keypoints,
                                     rng, pool=side_pool)
         else:
@@ -382,9 +447,15 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
 
         # per-epoch validation with the EMA (or raw) weights
         eval_params = state.ema_params if state.ema_params is not None else state.params
-        eval_matcher.variables = {
-            "params": eval_params, "batch_stats": state.batch_stats,
-        }
+        if fused_e2e:
+            m_vars, c_vars = fstep_mod.split_joint(
+                eval_params, state.batch_stats)
+            fused_eval.variables = jax.device_put(m_vars)
+            fused_eval.car_variables = jax.device_put(c_vars)
+        else:
+            eval_matcher.variables = {
+                "params": eval_params, "batch_stats": state.batch_stats,
+            }
         results = test_model(
             eval_matcher, val_dataset, tcfg.val_images_count,
             agc={"radius": cfg.agc.radius, "percentile": cfg.agc.percentile,
@@ -420,10 +491,15 @@ def _ckpt_payload(state, epoch, it):
     }
 
 
-def restore_train_state(cfg: GIMSConfig, path: str, num_batches: int):
+def restore_train_state(cfg: GIMSConfig, path: str, num_batches: int,
+                        variables=None):
     """Real resume (the reference's restore_path is dead code —
-    train.py never loads it; fixed here per SURVEY.md §7)."""
-    variables = init_gmatcher_variables(cfg.matcher)
+    train.py never loads it; fixed here per SURVEY.md §7).
+
+    variables: optional template tree (e.g. the joint fused-e2e tree);
+    defaults to a fresh matcher init."""
+    if variables is None:
+        variables = init_gmatcher_variables(cfg.matcher)
     state, tx = step_mod.create_train_state(cfg, variables, num_batches)
     like = _ckpt_payload(state, 0, 0)
     loaded = ckpt_io.load_orbax(path, like)

@@ -366,3 +366,59 @@ def test_load_config_train_and_frontend_params(tmp_path):
     assert cfg.frontend.descriptor_source == "dense_gray"
     assert cfg.frontend.detector == "device"
     assert cfg.agc.radius == 15
+
+
+def test_fused_e2e_train_step(rng):
+    """Joint descriptor-CNN + matcher step: loss finite, BOTH subtree
+    params move (gradients flow through the dense descriptor samples)."""
+    import dataclasses
+    import cv2
+
+    from gims_tpu.carhynet.model import CARHyNet
+    from gims_tpu.config import FrontendConfig
+    from gims_tpu.frontend.detect_device import build_gray_blur
+    from gims_tpu.fused import octave_budgets
+    from gims_tpu.train import fused_step as fstep_mod
+    from gims_tpu.train.data import SyntheticPairDataset
+    from gims_tpu.config import DatasetConfig
+    from gims_tpu.train.loop import build_batch_e2e
+
+    h, w = 120, 160
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        matcher=dataclasses.replace(cfg.matcher, descriptor_dim=256,
+                                    input_dim=256, remat=True),
+        frontend=FrontendConfig(descriptor_source="dense_gray"),
+        agc=AGCConfig(radius=40.0, percentile=5.0, min_size=2),
+    )
+    ds = SyntheticPairDataset(
+        DatasetConfig(image_height=h, image_width=w,
+                      apply_color_aug=False), length=1, seed=0)
+    batch = build_batch_e2e([ds[0]])
+
+    car_model = CARHyNet(in_channels=1)
+    car_vars = car_model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 1), jnp.float32))
+    matcher_vars = init_gmatcher_variables(cfg.matcher)
+    variables = fstep_mod.joint_variables(cfg, matcher_vars, car_vars)
+    state, tx = step_mod.create_train_state(cfg, variables, 10)
+
+    budgets = octave_budgets(h, w, 512)
+    dense_model = CARHyNet(dense=True, in_channels=1)
+    step = jax.jit(fstep_mod.make_fused_e2e_train_step(
+        cfg, tx, (h, w), budgets, build_gray_blur(h, w), None, dense_model))
+    state1, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    state2, _ = step(state1, batch)
+
+    def moved(sub):
+        return max(
+            np.abs(np.asarray(a) - np.asarray(b)).max()
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state1.params[sub]),
+                jax.tree_util.tree_leaves(state2.params[sub]),
+            ))
+
+    assert moved("gmatcher") > 0
+    assert moved("carhynet") > 0
