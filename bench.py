@@ -76,10 +76,15 @@ def run_fused(pairs):
     # pyramid itself — ~2.2x faster extraction and 3x smaller uploads
     # (single-channel frames). The recorded AUC table uses the
     # SIFT-descriptor weights via the staged path — see README.
-    # prefer the eval-regime fine-tuned weights (800x600 @ 6144 budget,
-    # trained at the exact bench operating point) when they exist
-    variables = load_variables("gims_tpu_dense_gray_ft800.npz")
+    # weight preference: joint end-to-end (matcher + trained CNN) >
+    # eval-regime fine-tune > base dense_gray run > color dense
+    car_variables = None
+    variables = load_variables("gims_tpu_dense_gray_e2e.npz")
     source = "dense_gray"
+    if variables is not None:
+        car_variables = load_variables("gims_tpu_dense_gray_e2e_car.npz")
+    if variables is None:
+        variables = load_variables("gims_tpu_dense_gray_ft800.npz")
     if variables is None:
         variables = load_variables("gims_tpu_dense_gray.npz")
     if variables is None:
@@ -94,7 +99,9 @@ def run_fused(pairs):
         "descriptor_source": source,
         "init_scheme": "identity",
         "radius": 15, "percentile": 2, "min_size": 7,
-    }, variables=variables,
+        "compact_to": (int(os.environ["GIMS_BENCH_COMPACT"])
+                       if "GIMS_BENCH_COMPACT" in os.environ else None),
+    }, variables=variables, car_variables=car_variables,
         total_keypoints=int(os.environ.get("GIMS_BENCH_KPTS", "12288")))
 
     if source == "dense_gray":

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--agc", type=float, nargs=3, default=[15, 2, 7])
     ap.add_argument("--descriptor_source", default="sift",
                     choices=["sift", "carhynet", "dense", "dense_gray"])
+    ap.add_argument("--car_weights", default=None,
+                    help="trained descriptor-CNN npz for the fused path "
+                         "(the _car.npz sibling of a joint e2e export)")
+    ap.add_argument("--compact_to", type=int, default=None,
+                    help="trunk bucket after AGC kept-compaction")
     ap.add_argument("--fused", action="store_true",
                     help="evaluate the fused single-program pipeline "
                          "(device DoG detection + dense descriptors) — the "
@@ -58,8 +63,11 @@ def main():
             "use_pallas_sinkhorn": True,
             "fast_frontend": True,
             "descriptor_source": args.descriptor_source,
+            "compact_to": args.compact_to,
             **agc,
         }, variables=unflatten_npz(args.weights),
+            car_variables=(unflatten_npz(args.car_weights)
+                           if args.car_weights else None),
             total_keypoints=args.max_keypoints)
 
         class _FusedAsMatching:
