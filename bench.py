@@ -51,6 +51,34 @@ def make_images(n_pairs, h=600, w=800):
     return pairs
 
 
+def make_photo_pairs(n_pairs, h=600, w=800, source_dir="assets/photos"):
+    """Real-photo regime: photographic textures have very different SIFT
+    keypoint statistics from procedural noise (VERDICT round-1 weak #7)."""
+    import glob
+
+    import cv2
+    import numpy as np
+
+    files = sorted(
+        glob.glob(os.path.join(source_dir, "*.png"))
+        + glob.glob(os.path.join(source_dir, "*.jpg"))
+    )
+    if not files:
+        return []
+    pairs = []
+    for i in range(n_pairs):
+        img = cv2.imread(files[i % len(files)])
+        img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+        rng = np.random.RandomState(2000 + i)
+        angle = rng.uniform(-15, 15)
+        M = cv2.getRotationMatrix2D((w / 2, h / 2), angle,
+                                    rng.uniform(0.85, 1.1))
+        H = np.eye(3, dtype=np.float32)
+        H[:2] = M
+        pairs.append((img, cv2.warpPerspective(img, H, (w, h))))
+    return pairs
+
+
 def load_variables(name):
     import os
 
@@ -63,9 +91,42 @@ def load_variables(name):
     return None
 
 
-def run_fused(pairs):
+def _time_fused(matcher, pairs, gray, n_warmup=2):
+    """Warm up on the first n_warmup pairs, time the rest with uploads on
+    a worker thread and two dispatches in flight."""
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
+    import jax
+
+    if gray:
+        import cv2
+
+        pairs = [(cv2.cvtColor(a, cv2.COLOR_BGR2GRAY),
+                  cv2.cvtColor(b, cv2.COLOR_BGR2GRAY)) for a, b in pairs]
+    for p in pairs[:n_warmup]:
+        matcher.collect(matcher.dispatch(*p))
+
+    timed = pairs[n_warmup:]
+    total_matches = 0
+    inflight = deque()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        t0 = time.perf_counter()  # before submit: uploads count as work
+        up = [pool.submit(lambda p=p: tuple(map(jax.device_put, p)))
+              for p in timed]
+        for fut in up:
+            inflight.append(matcher.dispatch(*fut.result()))
+            while len(inflight) > 2:
+                pred = matcher.collect(inflight.popleft())
+                total_matches += int((pred["matches0"][0] > -1).sum())
+        while inflight:
+            pred = matcher.collect(inflight.popleft())
+            total_matches += int((pred["matches0"][0] > -1).sum())
+        elapsed = time.perf_counter() - t0
+    return len(timed), elapsed, total_matches
+
+
+def run_fused(pairs):
     from gims_tpu.fused import FusedMatching
 
     # dense convolutional descriptors (pure MXU; no per-keypoint patch
@@ -104,41 +165,20 @@ def run_fused(pairs):
     }, variables=variables, car_variables=car_variables,
         total_keypoints=int(os.environ.get("GIMS_BENCH_KPTS", "12288")))
 
-    if source == "dense_gray":
-        # single-channel frames: 3x less tunnel traffic, and the device
-        # gray conversion is skipped (same BGR weights as cv2)
-        import cv2
+    # single-channel frames for dense_gray: 3x less tunnel traffic, and
+    # the device gray conversion is skipped (same BGR weights as cv2)
+    gray = source == "dense_gray"
+    n, elapsed, total_matches = _time_fused(matcher, pairs, gray)
+    extra = {"mode": "fused"}
 
-        pairs = [(cv2.cvtColor(a, cv2.COLOR_BGR2GRAY),
-                  cv2.cvtColor(b, cv2.COLOR_BGR2GRAY)) for a, b in pairs]
-
-    # warmup / compile
-    for p in pairs[:2]:
-        matcher.collect(matcher.dispatch(*p))
-
-    # image uploads ride a worker thread: ~2.9 MB/pair through the ~6 MB/s
-    # tunnel (~0.5 s) would otherwise serialize with compute in dispatch()
-    from concurrent.futures import ThreadPoolExecutor
-
-    import jax
-
-    timed = pairs[2:]
-    total_matches = 0
-    inflight = deque()
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        t0 = time.perf_counter()  # before submit: uploads count as work
-        up = [pool.submit(lambda p=p: tuple(map(jax.device_put, p)))
-              for p in timed]
-        for fut in up:
-            inflight.append(matcher.dispatch(*fut.result()))
-            while len(inflight) > 2:
-                pred = matcher.collect(inflight.popleft())
-                total_matches += int((pred["matches0"][0] > -1).sum())
-        while inflight:
-            pred = matcher.collect(inflight.popleft())
-            total_matches += int((pred["matches0"][0] > -1).sum())
-        elapsed = time.perf_counter() - t0
-    return len(timed), elapsed, total_matches, {"mode": "fused"}
+    # secondary figure: the real-photo regime (photographic SIFT keypoint
+    # statistics; same compiled program, so warmup is just pipelining)
+    photo_pairs = make_photo_pairs(8)
+    if photo_pairs:
+        pn, pel, pm = _time_fused(matcher, photo_pairs, gray, n_warmup=1)
+        extra["photos_pairs_per_sec"] = round(pn / pel, 4)
+        extra["photos_avg_matches"] = pm // max(pn, 1)
+    return n, elapsed, total_matches, extra
 
 
 def run_staged(pairs):
