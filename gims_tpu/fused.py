@@ -158,6 +158,13 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
         )
     else:
         ddt = jnp.float32
+    if dense_model is not None:
+        # checkpointed CNN apply: free for the forward-only fused program;
+        # under the e2e train step it rematerializes the conv activations
+        # in the backward pass (the full-res layer tensors are ~2 GB per
+        # side at 800x600 — the difference between fitting HBM and not)
+        dense_apply = jax.checkpoint(
+            functools.partial(dense_model.apply, train=False))
     if gray_desc:
         octs_color = None
         first_map_oct = 1 if len(octs_gray) > 1 else 0
@@ -166,8 +173,7 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
             if min(int(octs_gray[o].shape[1]), int(octs_gray[o].shape[2])) < 16:
                 break
             levels = octs_gray[o][1:4][..., None].astype(ddt) / 255.0
-            gray_maps[o] = dense_model.apply(car_variables, levels,
-                                             train=False)
+            gray_maps[o] = dense_apply(car_variables, levels)
     else:
         base = upsample2x(image_u8.astype(jnp.float32))
         n_layers = N_OCTAVE_LAYERS + 1 if dense_model is not None else None
@@ -218,7 +224,7 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
             )  # (k_sel, D) descriptors directly
         elif dense_model is not None:
             levels = octs_color[o][1:4].astype(ddt) / 255.0
-            maps3 = dense_model.apply(car_variables, levels, train=False)
+            maps3 = dense_apply(car_variables, levels)
             patches = _dense_sample(
                 maps3, px, py, layer, valid.astype(jnp.float32)
             )  # (k_sel, D) descriptors directly

@@ -74,10 +74,12 @@ def make_fused_e2e_train_step(cfg: GIMSConfig, tx, image_shape, budgets,
     h, w = image_shape
     import dataclasses
 
-    # training keeps the CNN in f32 (grads + optimizer moments); eval
-    # casts the trained weights to bf16 (FrontendConfig.dense_dtype)
+    # CNN compute in bf16 (params/grads/moments stay f32 — _extract_side
+    # casts per-call): matches the eval program's dense_dtype AND halves
+    # the conv tensors that dominate this step's HBM footprint. f32
+    # compute put the 6144-budget step ~1.4 GB over the v5e's 15.75 G.
     fe = dataclasses.replace(cfg.frontend, descriptor_source="dense_gray",
-                             dense_dtype="float32")
+                             dense_dtype=cfg.frontend.dense_dtype)
 
     def step(state: step_mod.TrainState, batch):
         img0 = batch["img0_u8"]
