@@ -164,6 +164,10 @@ class TrainConfig:
     max_keypoints: int = 2048
     lastiter_every: int = 2000
     minloss_every: int = 200
+    # fused-e2e staging: keep the (warm-started) matcher frozen for this
+    # many epochs while the descriptor CNN learns against it — joint
+    # updates from a fresh CNN at full LR destabilize both nets.
+    freeze_gmatcher_epochs: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -236,6 +240,8 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         max_keypoints=tp.get("max_keypoints", cfg.train.max_keypoints),
         lastiter_every=tp.get("lastiter_every", cfg.train.lastiter_every),
         minloss_every=tp.get("minloss_every", cfg.train.minloss_every),
+        freeze_gmatcher_epochs=tp.get("freeze_gmatcher_epochs",
+                                      cfg.train.freeze_gmatcher_epochs),
     )
     frontend = _update(
         cfg.frontend,

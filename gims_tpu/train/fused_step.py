@@ -61,12 +61,19 @@ def split_joint(params, batch_stats):
 
 def make_fused_e2e_train_step(cfg: GIMSConfig, tx, image_shape, budgets,
                               blur_mats, car_model, dense_model,
-                              axis_name=None):
+                              axis_name=None, freeze_steps: int = 0):
     """step(state, batch) -> (state, metrics).
 
     batch: img0_u8 (B, H, W) uint8 gray, img1_u8, homography (B, 3, 3).
     Requires batch_size 1 per device (the fused extraction is per-image;
     B=1 matches the reference's batch_size, configs/coco_config.yaml:6).
+
+    freeze_steps > 0 stages the joint recipe: for the first freeze_steps
+    optimizer steps the matcher params are held fixed (grads AND updates
+    zeroed — zeroing grads alone would still let weight decay shrink the
+    frozen weights) while the descriptor CNN learns against the
+    warm-started matcher; joint updates from a fresh CNN at full LR were
+    measured to destabilize both nets (epoch-1 loss 1.42 -> 2.47).
     """
     from gims_tpu.fused import _extract_side
 
@@ -119,7 +126,19 @@ def make_fused_e2e_train_step(cfg: GIMSConfig, tx, image_shape, budgets,
             metrics = jax.lax.pmean(metrics, axis_name)
             updates = jax.lax.pmean(updates, axis_name)
 
+        if freeze_steps > 0:
+            frozen = state.step < freeze_steps
+
+            def _gate(tree):
+                return jax.tree_util.tree_map(
+                    lambda g: jnp.where(frozen, jnp.zeros_like(g), g), tree)
+
+            grads = dict(grads)
+            grads["gmatcher"] = _gate(grads["gmatcher"])
         upd, opt_state = tx.update(grads, state.opt_state, state.params)
+        if freeze_steps > 0:
+            upd = dict(upd)
+            upd["gmatcher"] = _gate(upd["gmatcher"])
         params = optax.apply_updates(state.params, upd)
         ema_params, ema_updates = state.ema_params, state.ema_updates
         if ema_params is not None:

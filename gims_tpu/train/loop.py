@@ -280,8 +280,13 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
         budgets = octave_budgets(*image_shape, tcfg.max_keypoints)
         blur_mats = build_gray_blur(*image_shape)
         dense_model = CARHyNet(dense=True, in_channels=1)
+        freeze_steps = tcfg.freeze_gmatcher_epochs * num_batches
+        if freeze_steps:
+            log_fn(f"[train] matcher frozen for first {freeze_steps} steps "
+                   f"({tcfg.freeze_gmatcher_epochs} epochs)")
         step_fn = jax.jit(fstep_mod.make_fused_e2e_train_step(
-            cfg, tx, image_shape, budgets, blur_mats, None, dense_model))
+            cfg, tx, image_shape, budgets, blur_mats, None, dense_model,
+            freeze_steps=freeze_steps))
         # validation runs the REAL fused inference program with the
         # current weights (bf16 dense maps, like bench/eval)
         fused_eval = FusedMatching({

@@ -412,13 +412,25 @@ def test_fused_e2e_train_step(rng):
     assert np.isfinite(float(metrics["total_loss"]))
     state2, _ = step(state1, batch)
 
-    def moved(sub):
+    def moved(a_params, b_params, sub):
         return max(
             np.abs(np.asarray(a) - np.asarray(b)).max()
             for a, b in zip(
-                jax.tree_util.tree_leaves(state1.params[sub]),
-                jax.tree_util.tree_leaves(state2.params[sub]),
+                jax.tree_util.tree_leaves(a_params[sub]),
+                jax.tree_util.tree_leaves(b_params[sub]),
             ))
 
-    assert moved("gmatcher") > 0
-    assert moved("carhynet") > 0
+    assert moved(state1.params, state2.params, "gmatcher") > 0
+    assert moved(state1.params, state2.params, "carhynet") > 0
+
+    # staged recipe: freeze_steps holds the matcher fixed (grads AND
+    # weight-decay updates zeroed) while the CNN learns, then releases it
+    # (start from state1: step 0 has LR=0 from the linear warmup)
+    fstep = jax.jit(fstep_mod.make_fused_e2e_train_step(
+        cfg, tx, (h, w), budgets, build_gray_blur(h, w), None, dense_model,
+        freeze_steps=2))
+    fs1, _ = fstep(state1, batch)
+    assert moved(state1.params, fs1.params, "gmatcher") == 0
+    assert moved(state1.params, fs1.params, "carhynet") > 0
+    fs2, _ = fstep(fs1, batch)
+    assert moved(fs1.params, fs2.params, "gmatcher") > 0
