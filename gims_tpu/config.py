@@ -80,6 +80,13 @@ class MatcherConfig:
     # models/gmatcher.py:26-33 receives (B,H,W,3) so "height"=W and
     # "width"=3); "standard" centers/scales by the true (H, W).
     normalization: str = "standard"
+    # Inference-only: run both sides of the pair through the trunk as one
+    # stacked batch of 2B (input_proj, SAGE, kenc, every GNN layer,
+    # final_proj each dispatch once instead of twice). Bit-exact at eval —
+    # BatchNorm reads running stats — and automatically disabled in train
+    # mode (pooled batch stats would diverge from the reference's
+    # per-side sequential updates) or when the two buckets differ.
+    stack_sides: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

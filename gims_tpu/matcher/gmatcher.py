@@ -74,8 +74,14 @@ class GMatcher(nn.Module):
         gnn = AttentionalGNN(
             cfg.descriptor_dim, layer_names, cfg.num_heads,
             cfg.use_layernorm, dtype=attn_dtype,
-            attn_impl=cfg.attention_impl, remat=cfg.remat, name="gnn",
+            attn_impl=cfg.attention_impl, remat=cfg.remat,
+            stack_sides=cfg.stack_sides, name="gnn",
         )
+        # Inference: run both sides through every pre/post-trunk stage as
+        # ONE stacked batch of 2B (see MatcherConfig.stack_sides).
+        stack = (cfg.stack_sides and not train
+                 and desc0.shape == desc1.shape
+                 and kpts0n.shape == kpts1n.shape)
 
         # Zero out pruned/padded tokens before anything runs: pad slots
         # carry sentinel keypoints (1e6) whose kenc/MLP activations grow
@@ -89,26 +95,38 @@ class GMatcher(nn.Module):
         desc0 = jnp.where(kept0[..., None], desc0, 0.0)
         desc1 = jnp.where(kept1[..., None], desc1, 0.0)
 
-        if cfg.input_dim != cfg.descriptor_dim:
-            proj = nn.Dense(cfg.descriptor_dim, name="input_proj")
-            desc0 = proj(desc0)
-            desc1 = proj(desc1)
-
-        # GraphSAGE over each graph (batched dense aggregation)
-        h0 = sage(desc0, adj0, kept0)
-        h1 = sage(desc1, adj1, kept1)
-
-        d0 = h0 + kenc(kpts0n, kept0, train)
-        d1 = h1 + kenc(kpts1n, kept1, train)
-
-        d0 = d0.astype(attn_dtype)
-        d1 = d1.astype(attn_dtype)
-        d0, d1 = gnn(d0, d1, kept0, kept1, train)
-        d0 = d0.astype(jnp.float32)
-        d1 = d1.astype(jnp.float32)
-
         final = nn.Dense(cfg.descriptor_dim, name="final_proj")
-        mdesc0, mdesc1 = final(d0), final(d1)
+        if stack:
+            bsz = desc0.shape[0]
+            desc = jnp.concatenate([desc0, desc1], axis=0)
+            adj = jnp.concatenate([adj0, adj1], axis=0)
+            kept = jnp.concatenate([kept0, kept1], axis=0)
+            kpts = jnp.concatenate([kpts0n, kpts1n], axis=0)
+            if cfg.input_dim != cfg.descriptor_dim:
+                desc = nn.Dense(cfg.descriptor_dim, name="input_proj")(desc)
+            d = sage(desc, adj, kept) + kenc(kpts, kept, train)
+            d0, d1 = gnn(d[:bsz].astype(attn_dtype),
+                         d[bsz:].astype(attn_dtype), kept0, kept1, train)
+            md = final(jnp.concatenate([d0, d1], axis=0).astype(jnp.float32))
+            mdesc0, mdesc1 = md[:bsz], md[bsz:]
+        else:
+            if cfg.input_dim != cfg.descriptor_dim:
+                proj = nn.Dense(cfg.descriptor_dim, name="input_proj")
+                desc0 = proj(desc0)
+                desc1 = proj(desc1)
+
+            # GraphSAGE over each graph (batched dense aggregation)
+            h0 = sage(desc0, adj0, kept0)
+            h1 = sage(desc1, adj1, kept1)
+
+            d0 = h0 + kenc(kpts0n, kept0, train)
+            d1 = h1 + kenc(kpts1n, kept1, train)
+
+            d0 = d0.astype(attn_dtype)
+            d1 = d1.astype(attn_dtype)
+            d0, d1 = gnn(d0, d1, kept0, kept1, train)
+            mdesc0 = final(d0.astype(jnp.float32))
+            mdesc1 = final(d1.astype(jnp.float32))
 
         scores = jnp.einsum(
             "bnc,bmc->bnm", mdesc0, mdesc1,

@@ -199,6 +199,7 @@ class AttentionalGNN(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    stack_sides: bool = True
 
     @nn.compact
     def __call__(self, desc0, desc1, mask0, mask1, train: bool):
@@ -210,11 +211,30 @@ class AttentionalGNN(nn.Module):
             nn.remat(AttentionalPropagation, static_argnums=(5,))
             if self.remat else AttentionalPropagation
         )
-        for i, name in enumerate(self.layer_names):
-            layer = layer_cls(
+        layers = [
+            layer_cls(
                 self.feature_dim, self.num_heads, self.use_layernorm,
                 dtype=self.dtype, attn_impl=self.attn_impl, name=f"layer_{i}",
             )
+            for i in range(len(self.layer_names))
+        ]
+        if self.stack_sides and not train and desc0.shape == desc1.shape:
+            # One stacked batch of 2B per layer: halves the dispatch count
+            # and doubles the matmul rows per Dense. Bit-exact at eval
+            # (BatchNorm reads running stats; per-row math is unchanged).
+            b = desc0.shape[0]
+            x = jnp.concatenate([desc0, desc1], axis=0)
+            masks = jnp.concatenate([mask0, mask1], axis=0)
+            masks_sw = jnp.concatenate([mask1, mask0], axis=0)
+            for layer, name in zip(layers, self.layer_names):
+                if name == "cross":
+                    src = jnp.concatenate([x[b:], x[:b]], axis=0)
+                    sm = masks_sw
+                else:
+                    src, sm = x, masks
+                x = x + layer(x, src, masks, sm, train).astype(x.dtype)
+            return x[:b], x[b:]
+        for layer, name in zip(layers, self.layer_names):
             if name == "cross":
                 src0, src1 = desc1, desc0
                 sm0, sm1 = mask1, mask0

@@ -236,6 +236,33 @@ def test_pipeline_padding_invariance(rng):
     assert (big["matches0"][0, n0:] == -1).all()
 
 
+def test_stack_sides_parity(rng):
+    """stack_sides=True (both sides through the trunk as one batch of 2B)
+    must reproduce the two-call path exactly at eval: BatchNorm reads
+    running stats, so per-row math is unchanged."""
+    import dataclasses
+
+    acfg = AGCConfig(radius=60.0, percentile=10.0, min_size=3)
+    kp0, de0, v0, kp1, de1, v1 = _random_pair(rng, 50, 64, 64, 64)
+    args = [jnp.asarray(a)[None] for a in (kp0, de0, v0, kp1, de1, v1)]
+
+    outs = {}
+    for flag in (True, False):
+        mcfg = dataclasses.replace(_mcfg(), stack_sides=flag)
+        variables = _init_vars(mcfg)
+        outs[flag] = {
+            k: np.asarray(val)
+            for k, val in pipeline.forward_match(
+                variables, mcfg, acfg, *args, image_shape=(64, 64)
+            ).items()
+        }
+    for k in outs[True]:
+        np.testing.assert_allclose(
+            outs[True][k], outs[False][k], rtol=1e-6, atol=1e-6,
+            err_msg=k,
+        )
+
+
 def test_training_forward_losses_and_grads(rng):
     mcfg = _mcfg()
     acfg = AGCConfig(radius=80.0, percentile=10.0, min_size=2)
