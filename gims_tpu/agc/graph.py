@@ -30,8 +30,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.float32(3.0e38)
+# numpy scalar on purpose: a module-level jnp scalar is a device dispatch
+# at import time, which initializes the backend (and hangs every import —
+# including the driver's __graft_entry__ load — when the axon tunnel is
+# down). np.float32 keeps the f32 dtype in jnp expressions without
+# touching a device.
+BIG = np.float32(3.0e38)
 
 
 class AGCGraph(NamedTuple):

@@ -50,7 +50,9 @@ from gims_tpu.frontend.pyramid import (
 
 IMG_BORDER = 5          # OpenCV SIFT_IMG_BORDER
 MAX_INTERP_STEPS = 1    # dense single-step fit (see module docstring)
-NEG = jnp.float32(-1.0)
+# numpy scalar: a module-level jnp scalar dispatches to the device at
+# import time (hangs every import when the axon tunnel is down).
+NEG = np.float32(-1.0)
 
 
 def _sep_blur_hw(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:

@@ -9,8 +9,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.float32(3.0e38)
+# numpy scalar: a module-level jnp scalar dispatches to the device at
+# import time (hangs every import when the axon tunnel is down).
+BIG = np.float32(3.0e38)
 
 
 def warp_keypoints(kpts, H):
