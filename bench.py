@@ -91,19 +91,55 @@ def load_variables(name):
     return None
 
 
-def _time_fused(matcher, pairs, gray, n_warmup=2):
-    """Warm up on the first n_warmup pairs, time the rest with uploads on
-    a worker thread and two dispatches in flight."""
+def _time_fused(matcher, pairs, gray, n_warmup=2, batch=1):
+    """Warm up on the first n_warmup pairs (batches when batch>1), time
+    the rest with uploads on a worker thread and two dispatches in
+    flight. batch>1 stacks B pairs per program dispatch — one tunnel RPC
+    and higher MXU occupancy per B pairs."""
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
+    import numpy as np
 
     if gray:
         import cv2
 
         pairs = [(cv2.cvtColor(a, cv2.COLOR_BGR2GRAY),
                   cv2.cvtColor(b, cv2.COLOR_BGR2GRAY)) for a, b in pairs]
+    if batch > 1:
+        # pad the timed set to a batch multiple by reusing early pairs
+        timed = pairs[n_warmup * batch:]
+        while len(timed) % batch:
+            timed.append(timed[len(timed) % batch])
+        groups = [timed[i:i + batch] for i in range(0, len(timed), batch)]
+        warm = [pairs[i * batch:(i + 1) * batch] for i in range(n_warmup)]
+        warm = [g for g in warm if len(g) == batch]
+        if not warm:
+            warm = groups[:1]
+        for g in warm:
+            matcher.collect_batch(matcher.dispatch_batch(
+                np.stack([p[0] for p in g]), np.stack([p[1] for p in g])))
+
+        total_matches = 0
+        inflight = deque()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            t0 = time.perf_counter()
+            up = [pool.submit(
+                lambda g=g: (jax.device_put(np.stack([p[0] for p in g])),
+                             jax.device_put(np.stack([p[1] for p in g]))))
+                for g in groups]
+            for fut in up:
+                inflight.append(matcher.dispatch_batch(*fut.result()))
+                while len(inflight) > 2:
+                    for pred in matcher.collect_batch(inflight.popleft()):
+                        total_matches += int((pred["matches0"][0] > -1).sum())
+            while inflight:
+                for pred in matcher.collect_batch(inflight.popleft()):
+                    total_matches += int((pred["matches0"][0] > -1).sum())
+            elapsed = time.perf_counter() - t0
+        return len(timed), elapsed, total_matches
+
     for p in pairs[:n_warmup]:
         matcher.collect(matcher.dispatch(*p))
 
@@ -168,14 +204,19 @@ def run_fused(pairs):
     # single-channel frames for dense_gray: 3x less tunnel traffic, and
     # the device gray conversion is skipped (same BGR weights as cv2)
     gray = source == "dense_gray"
-    n, elapsed, total_matches = _time_fused(matcher, pairs, gray)
-    extra = {"mode": "fused"}
+    batch = int(os.environ.get("GIMS_BENCH_BATCH", "1"))
+    if batch > 1:
+        # 2 warmup batches + 4 timed batches
+        pairs = make_images(6 * batch)
+    n, elapsed, total_matches = _time_fused(matcher, pairs, gray, batch=batch)
+    extra = {"mode": "fused", "batch": batch}
 
     # secondary figure: the real-photo regime (photographic SIFT keypoint
     # statistics; same compiled program, so warmup is just pipelining)
-    photo_pairs = make_photo_pairs(8)
+    photo_pairs = make_photo_pairs(8 if batch == 1 else 3 * batch)
     if photo_pairs:
-        pn, pel, pm = _time_fused(matcher, photo_pairs, gray, n_warmup=1)
+        pn, pel, pm = _time_fused(matcher, photo_pairs, gray, n_warmup=1,
+                                  batch=batch)
         extra["photos_pairs_per_sec"] = round(pn / pel, 4)
         extra["photos_avg_matches"] = pm // max(pn, 1)
     return n, elapsed, total_matches, extra

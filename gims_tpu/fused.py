@@ -327,6 +327,49 @@ def fused_match_pair(matcher_variables, car_variables, car_model,
     return out
 
 
+def fused_match_batch(matcher_variables, car_variables, car_model,
+                      mcfg: MatcherConfig, acfg: AGCConfig,
+                      fe: FrontendConfig, budgets,
+                      imgs0_u8, imgs1_u8, h: int, w: int, dense_model=None,
+                      compact_transport: bool = False, blur_mats=None,
+                      compact_to=None):
+    """B pairs through ONE program: vmapped extraction + batched matcher.
+
+    imgs0_u8/imgs1_u8 are (B, H, W[, C]) uint8 stacks. Batching amortizes
+    the per-dispatch tunnel RPC (~29 ms) over B pairs and raises MXU
+    occupancy of every stage (the trunk already stacks both sides, so it
+    runs at batch 2B). Bit-exact with B independent fused_match_pair
+    calls at eval (BatchNorm uses running stats; all shapes static).
+    """
+    def extract(im):
+        return _extract_side(im, h, w, budgets, fe, car_variables,
+                             car_model, dense_model, blur_mats)
+
+    kp0, sc0, va0, de0 = jax.vmap(extract)(imgs0_u8)
+    kp1, sc1, va1, de1 = jax.vmap(extract)(imgs1_u8)
+    out = pipeline.forward_match(
+        matcher_variables, mcfg, acfg,
+        kp0, de0, va0, kp1, de1, va1,
+        image_shape=(h, w),
+        compact_to=compact_to,
+        scores0=sc0, scores1=sc1,
+    )
+    out["keypoints0"] = kp0
+    out["keypoints1"] = kp1
+    out["scores0"] = sc0
+    out["scores1"] = sc1
+    if compact_transport:
+        for s in ("0", "1"):
+            out["keypoints" + s] = jnp.clip(
+                out["keypoints" + s] * 16.0, 0, 65535
+            ).astype(jnp.uint16)
+            out["matches" + s] = out["matches" + s].astype(jnp.int16)
+            out["matching_scores" + s] = out["matching_scores" + s].astype(
+                jnp.float16)
+            out["scores" + s] = out["scores" + s].astype(jnp.float16)
+    return out
+
+
 class FusedMatching:
     """Drop-in single-program matcher: one compile per (H, W).
 
@@ -388,6 +431,9 @@ class FusedMatching:
         self._jit = functools.partial(
             jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11, 12, 14)
         )(fused_match_pair)
+        self._jit_batch = functools.partial(
+            jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11, 12, 14)
+        )(fused_match_batch)
         self.timings = {}
 
     def dispatch(self, img0, img1):
@@ -405,6 +451,27 @@ class FusedMatching:
             self.compact_transport, self._blur[(h, w)], self.compact_to,
         )
 
+    def dispatch_batch(self, imgs0, imgs1):
+        """Async: B same-shape pairs through ONE program dispatch.
+
+        imgs0/imgs1 are sequences of B images (or pre-stacked (B, H, W[, C])
+        uint8 arrays / device buffers)."""
+        from gims_tpu.frontend.detect_device import build_gray_blur
+
+        if not hasattr(imgs0, "shape"):
+            imgs0 = np.stack(imgs0)
+            imgs1 = np.stack(imgs1)
+        h, w = int(imgs0.shape[1]), int(imgs0.shape[2])
+        budgets = octave_budgets(h, w, self.total)
+        if (h, w) not in self._blur:
+            self._blur[(h, w)] = build_gray_blur(h, w)
+        return self._jit_batch(
+            self.variables, self.car_variables, self.car_model,
+            self.mcfg, self.acfg, self.fe, budgets,
+            jnp.asarray(imgs0), jnp.asarray(imgs1), h, w, self.dense_model,
+            self.compact_transport, self._blur[(h, w)], self.compact_to,
+        )
+
     def __call__(self, img0, img1):
         t0 = time.perf_counter()
         out = self.dispatch(img0, img1)
@@ -415,6 +482,11 @@ class FusedMatching:
     def collect(self, out):
         """One batched readout + host-side compaction (api._compact
         equivalent for device-resident keypoints)."""
+        return self.collect_batch(out)[0]
+
+    def collect_batch(self, out):
+        """One batched readout; returns a list of B per-pair dicts, each
+        compacted to the reference contract (leading batch dim of 1)."""
         keys = ["kept0", "kept1", "matches0", "matches1",
                 "matching_scores0", "matching_scores1",
                 "keypoints0", "keypoints1", "scores0", "scores1"]
@@ -426,24 +498,25 @@ class FusedMatching:
                 host["matching_scores" + s] = (
                     host["matching_scores" + s].astype(np.float32))
                 host["scores" + s] = host["scores" + s].astype(np.float32)
-        kept0 = host["kept0"][0]
-        kept1 = host["kept1"][0]
-        new0, old0 = compact_indices(kept0)
-        new1, old1 = compact_indices(kept1)
 
         def remap(matches, new_other):
             m = matches.astype(np.int64)
             return np.where(m >= 0, new_other[np.clip(m, 0, None)], -1)
 
-        return {
-            "keypoints0": host["keypoints0"][0][old0][None],
-            "keypoints1": host["keypoints1"][0][old1][None],
-            "scores0": host["scores0"][0][old0][None],
-            "scores1": host["scores1"][0][old1][None],
-            "matches0": remap(host["matches0"][0][old0],
-                              new1).astype(np.int32)[None],
-            "matches1": remap(host["matches1"][0][old1],
-                              new0).astype(np.int32)[None],
-            "matching_scores0": host["matching_scores0"][0][old0][None],
-            "matching_scores1": host["matching_scores1"][0][old1][None],
-        }
+        preds = []
+        for b in range(host["kept0"].shape[0]):
+            new0, old0 = compact_indices(host["kept0"][b])
+            new1, old1 = compact_indices(host["kept1"][b])
+            preds.append({
+                "keypoints0": host["keypoints0"][b][old0][None],
+                "keypoints1": host["keypoints1"][b][old1][None],
+                "scores0": host["scores0"][b][old0][None],
+                "scores1": host["scores1"][b][old1][None],
+                "matches0": remap(host["matches0"][b][old0],
+                                  new1).astype(np.int32)[None],
+                "matches1": remap(host["matches1"][b][old1],
+                                  new0).astype(np.int32)[None],
+                "matching_scores0": host["matching_scores0"][b][old0][None],
+                "matching_scores1": host["matching_scores1"][b][old1][None],
+            })
+        return preds

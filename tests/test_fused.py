@@ -48,6 +48,24 @@ def test_fused_end_to_end_contract():
     assert np.isfinite(pred["matching_scores0"]).all()
 
 
+def test_fused_batch_matches_single():
+    """dispatch_batch over B=2 pairs must agree with two single-pair
+    dispatches (eval-mode BatchNorm uses running stats; shapes static)."""
+    pa = _pair(seed=3)
+    pb = _pair(seed=7)
+    m = FusedMatching({"fast_frontend": True}, total_keypoints=256)
+    singles = [m.collect(m.dispatch(p[0], p[1])) for p in (pa, pb)]
+    batch = m.collect_batch(
+        m.dispatch_batch([pa[0], pb[0]], [pa[1], pb[1]])
+    )
+    assert len(batch) == 2
+    for got, want in zip(batch, singles):
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k].shape == want[k].shape, k
+            np.testing.assert_allclose(got[k], want[k], atol=2e-3, err_msg=k)
+
+
 def test_fused_compact_to_contract():
     """compact_to in the fused program: same contract, mutual-consistent
     matches in the compacted output space."""
