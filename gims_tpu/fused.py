@@ -378,7 +378,8 @@ class FusedMatching:
     """
 
     def __init__(self, config=None, variables=None, car_variables=None,
-                 seed: int = 0, total_keypoints: int = 12288):
+                 seed: int = 0, total_keypoints: int = 12288,
+                 devices=None):
         from gims_tpu.api import init_gmatcher_variables
         from gims_tpu.carhynet.engine import DescriptorEngine
         from gims_tpu.carhynet.model import CARHyNet
@@ -434,6 +435,24 @@ class FusedMatching:
         self._jit_batch = functools.partial(
             jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11, 12, 14)
         )(fused_match_batch)
+        # Multi-chip serving: a 1-D 'data' mesh over the given devices
+        # (or the first N when an int). dispatch_batch shards the pair
+        # batch across it — GSPMD partitions the whole fused program, so
+        # N chips serve N pairs in the wall time of one. The reference
+        # has no multi-GPU inference at all (DDP is training-only,
+        # /root/reference/train.py:189-208); this is the TPU-native
+        # scale-out for the serving path.
+        if devices is not None:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            if isinstance(devices, int):
+                devices = jax.devices()[:devices]
+            self.mesh = Mesh(np.array(devices), ("data",))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.variables = jax.device_put(self.variables, rep)
+            self.car_variables = jax.device_put(self.car_variables, rep)
+        else:
+            self.mesh = None
         self.timings = {}
 
     def dispatch(self, img0, img1):
@@ -465,6 +484,18 @@ class FusedMatching:
         budgets = octave_budgets(h, w, self.total)
         if (h, w) not in self._blur:
             self._blur[(h, w)] = build_gray_blur(h, w)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_dev = self.mesh.devices.size
+            if imgs0.shape[0] % n_dev:
+                raise ValueError(
+                    f"batch {imgs0.shape[0]} not divisible by the "
+                    f"{n_dev}-device mesh")
+            spec = PartitionSpec("data", *([None] * (imgs0.ndim - 1)))
+            sh = NamedSharding(self.mesh, spec)
+            imgs0 = jax.device_put(imgs0, sh)
+            imgs1 = jax.device_put(imgs1, sh)
         return self._jit_batch(
             self.variables, self.car_variables, self.car_model,
             self.mcfg, self.acfg, self.fe, budgets,

@@ -66,6 +66,27 @@ def test_fused_batch_matches_single():
             np.testing.assert_allclose(got[k], want[k], atol=2e-3, err_msg=k)
 
 
+def test_fused_mesh_batch_matches_unsharded():
+    """Multi-chip serving path: a pair batch sharded over the 8-virtual-
+    device 'data' mesh must produce the same matches as the unsharded
+    batched program (GSPMD partitioning is semantics-preserving)."""
+    import jax
+
+    pairs = [_pair(seed=s) for s in (3, 7, 11, 13)]
+    i0 = [p[0] for p in pairs] * 2   # B=8 over 8 devices
+    i1 = [p[1] for p in pairs] * 2
+    base = FusedMatching({"fast_frontend": True}, total_keypoints=256)
+    sharded = FusedMatching({"fast_frontend": True}, total_keypoints=256,
+                            devices=len(jax.devices()))
+    want = base.collect_batch(base.dispatch_batch(i0, i1))
+    got = sharded.collect_batch(sharded.dispatch_batch(i0, i1))
+    assert len(got) == len(want) == 8
+    for g, w in zip(got, want):
+        for k in w:
+            assert g[k].shape == w[k].shape, k
+            np.testing.assert_allclose(g[k], w[k], atol=2e-3, err_msg=k)
+
+
 def test_fused_compact_to_contract():
     """compact_to in the fused program: same contract, mutual-consistent
     matches in the compacted output space."""
