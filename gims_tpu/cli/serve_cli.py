@@ -31,11 +31,16 @@ def find_matches(matcher, image0, image1, resize_enabled=True,
         image0 = cv2.resize(image0, resize)
         image1 = cv2.resize(image1, resize)
     t0 = time.perf_counter()
-    pred = matcher({
-        "image0": image0[None], "image1": image1[None],
-        **(agc or {"radius": 15, "percentile": 2, "min_size": 7}),
-        "return_descriptors": False,
-    })
+    from gims_tpu.fused import FusedMatching
+
+    if isinstance(matcher, FusedMatching):
+        pred = matcher(image0, image1)
+    else:
+        pred = matcher({
+            "image0": image0[None], "image1": image1[None],
+            **(agc or {"radius": 15, "percentile": 2, "min_size": 7}),
+            "return_descriptors": False,
+        })
     dt = time.perf_counter() - t0
     kpts0 = pred["keypoints0"][0]
     kpts1 = pred["keypoints1"][0]
@@ -71,17 +76,34 @@ def _parse_multipart(handler):
     return files
 
 
-def serve(port=7860, weights_path=None):
+def serve(port=7860, weights_path=None, fused=False, total_keypoints=12288):
     import http.server
 
-    from gims_tpu.api import Matching
+    if fused:
+        # flagship single-program path (gims_tpu/fused.py): device DoG
+        # detection + dense_gray descriptors; ~one dispatch per request
+        from gims_tpu.core.checkpoint import unflatten_npz
+        from gims_tpu.fused import FusedMatching
 
-    matcher = Matching({
-        "weights_path": weights_path,
-        "sinkhorn_iterations": 20,
-        "match_threshold": 0.02,
-        "max_keypoints": -1,
-    })
+        matcher = FusedMatching({
+            "sinkhorn_iterations": 20,
+            "match_threshold": 0.02,
+            "fast_frontend": True,
+            "descriptor_source": "dense_gray",
+            "attention_dtype": "bfloat16",
+            "radius": 15, "percentile": 2, "min_size": 7,
+            "init_scheme": "identity",
+        }, variables=(unflatten_npz(weights_path) if weights_path else None),
+            total_keypoints=total_keypoints)
+    else:
+        from gims_tpu.api import Matching
+
+        matcher = Matching({
+            "weights_path": weights_path,
+            "sinkhorn_iterations": 20,
+            "match_threshold": 0.02,
+            "max_keypoints": -1,
+        })
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_POST(self):
@@ -130,8 +152,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--weights_path", type=str, default=None)
+    parser.add_argument("--fused", action="store_true",
+                        help="serve the fused single-program pipeline "
+                             "(device detection + dense_gray descriptors)")
+    parser.add_argument("--total_keypoints", type=int, default=12288,
+                        help="--fused keypoint budget")
     args = parser.parse_args(argv)
-    serve(args.port, args.weights_path)
+    serve(args.port, args.weights_path, fused=args.fused,
+          total_keypoints=args.total_keypoints)
 
 
 if __name__ == "__main__":

@@ -120,6 +120,19 @@ def test_find_matches_surface(tiny_matcher):
     assert set(details) >= {"keypoints0", "keypoints1", "matches", "seconds"}
 
 
+def test_find_matches_fused_surface():
+    from gims_tpu.cli.serve_cli import find_matches
+    from gims_tpu.fused import FusedMatching
+
+    img0 = synthetic_image(seed=3)
+    H = np.array([[1.0, 0.0, 2.0], [0.0, 1.0, -2.0], [0, 0, 1.0]], np.float32)
+    img1 = cv2.warpPerspective(img0, H, (160, 120))
+    matcher = FusedMatching({"fast_frontend": True}, total_keypoints=256)
+    viz, details = find_matches(matcher, img0, img1, resize_enabled=False)
+    assert viz.shape == (120, 320, 3)
+    assert set(details) >= {"keypoints0", "keypoints1", "matches", "seconds"}
+
+
 def test_match_eval_cli(tmp_path, tiny_matcher):
     from gims_tpu.eval.matches import run_match_eval
 
