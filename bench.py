@@ -195,6 +195,7 @@ def run_fused(pairs):
         "fast_frontend": True,
         "descriptor_source": source,
         "init_scheme": "identity",
+        "topk_impl": os.environ.get("GIMS_BENCH_TOPK", "exact"),
         "radius": 15, "percentile": 2, "min_size": 7,
         "compact_to": (int(os.environ["GIMS_BENCH_COMPACT"])
                        if "GIMS_BENCH_COMPACT" in os.environ else None),

@@ -118,6 +118,13 @@ class FrontendConfig:
     # detection on the TPU (frontend/detect_device.py) — the speed path
     # when host cores are the bottleneck.
     detector: str = "host"
+    # Per-octave keypoint selection in the fused path. "exact" =
+    # lax.top_k (sorts the full candidate plane — octave 0 at 800x600 is
+    # ~5.8M scores). "approx" = lax.approx_max_k(recall_target=0.95),
+    # the TPU-native partial reduction: same budget of keypoints, ~95%
+    # of them identical, the rest swapped for near-threshold candidates
+    # (low-response detections are interchangeable noise for matching).
+    topk_impl: str = "exact"
 
 
 @dataclasses.dataclass(frozen=True)

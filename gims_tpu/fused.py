@@ -192,7 +192,11 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
                                   fe.edge_threshold, ori)
         score = cand["score"].reshape(-1)
         k_sel = min(k_o, score.shape[0])
-        top_v, top_i = jax.lax.top_k(score, k_sel)
+        if fe.topk_impl == "approx" and k_sel < score.shape[0]:
+            top_v, top_i = jax.lax.approx_max_k(
+                score, k_sel, recall_target=0.95)
+        else:
+            top_v, top_i = jax.lax.top_k(score, k_sel)
 
         lh, hh, wh = cand["score"].shape
         li = top_i // (hh * wh)
@@ -401,6 +405,7 @@ class FusedMatching:
             warp_size=32 if config.get("fast_frontend") else 64,
             descriptor_source=config.get("descriptor_source", "carhynet"),
             dense_dtype=config.get("dense_dtype", "bfloat16"),
+            topk_impl=config.get("topk_impl", "exact"),
         )
         self.total = total_keypoints
         if variables is None:
