@@ -230,6 +230,13 @@ def run_benchmark(
         print("AUC@5\t AUC@10\t AUC@25\t Prec\t Recall\t")
         print("{:.2f}\t {:.2f}\t {:.2f}\t {:.2f}\t {:.2f}".format(
             *results["ransac_auc"], results["precision"], results["recall"]))
+    # completion ping (reference: eval_homography.py:268); no-op unless
+    # GIMS_NOTIFY_URL is set
+    from gims_tpu.core.notify import send_notify
+
+    send_notify("eval_homography done: " + (
+        "auc {:.2f}/{:.2f}/{:.2f}".format(*results["ransac_auc"])
+        if results else "no results"))
     return results
 
 

@@ -133,4 +133,9 @@ def run_match_eval(
             continue
     with open(os.path.join(result_dir, "result.txt"), "w+") as f:
         f.write("\n".join(results_file))
+    # completion ping (reference: eval_matches.py:181); no-op unless
+    # GIMS_NOTIFY_URL is set
+    from gims_tpu.core.notify import send_notify
+
+    send_notify("eval_matches done: " + "; ".join(results_file[-3:]))
     return results_file

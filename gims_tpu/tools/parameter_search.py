@@ -93,9 +93,18 @@ def search(image0_path, image1_path, parameters, weights_path, output_dir,
     os.makedirs(result_path, exist_ok=True)
     rows = []
     for param in parameters:
-        rows.append(search_process(
-            matcher, param, image0, image1, name0, name1, result_path
-        ))
+        try:
+            rows.append(search_process(
+                matcher, param, image0, image1, name0, name1, result_path
+            ))
+        except Exception as e:  # noqa: BLE001
+            # error ping + keep sweeping (reference:
+            # tools/parameter_search.py:206-209); no-op unless
+            # GIMS_NOTIFY_URL is set
+            from gims_tpu.core.notify import send_notify
+
+            send_notify(f"parameter_search error at {list(param)}: {e}")
+            print(f"search_process failed at {list(param)}: {e}")
     return rows
 
 

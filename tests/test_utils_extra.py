@@ -94,3 +94,40 @@ def test_image_streamer(tmp_path):
         frames.append(f)
     assert len(frames) == 2
     assert frames[0].shape == (12, 16, 3)
+
+
+def test_send_notify(monkeypatch):
+    """Configurable completion webhook (reference: utils/common.py:831-835
+    hard-codes its endpoint; here GIMS_NOTIFY_URL selects it, unset = no-op)."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from gims_tpu.core.notify import send_notify
+
+    monkeypatch.delenv("GIMS_NOTIFY_URL", raising=False)
+    assert send_notify("ignored") is False  # unset -> no-op
+
+    got = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            got["query"] = urllib.parse.urlparse(self.path).query
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.handle_request, daemon=True)
+    t.start()
+    monkeypatch.setenv("GIMS_NOTIFY_URL",
+                       f"http://127.0.0.1:{srv.server_port}/send")
+    assert send_notify("eval done: auc 92") is True
+    t.join(timeout=10)
+    srv.server_close()
+    assert urllib.parse.parse_qs(got["query"])["msg"] == ["eval done: auc 92"]
+
+    # failures are swallowed (server gone)
+    assert send_notify("nobody listening") is False
