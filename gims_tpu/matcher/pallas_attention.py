@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+LOG2E = 1.4426950408889634  # 1/ln 2
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
@@ -57,12 +58,17 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                      # (BQ, BK) f32
-    s = s * scale + bias_ref[...]        # bias (1, BK) broadcasts over rows
+    # base-2 softmax: fold log2(e) into the scale so the (BQ, BK) tile
+    # uses the VPU's native exp2 instead of exp — the tile-wide
+    # exponential is this kernel's VPU bottleneck (N*M*H evaluations per
+    # trunk layer). exp2((s*scale + bias)*log2e - m2) == exp(x - m), so
+    # the softmax value is unchanged; only rounding differs.
+    s = s * (scale * LOG2E) + bias_ref[...]  # bias (1, BK), pre-scaled
 
-    m_prev = m_ref[:, :1]                       # (BQ, 1)
+    m_prev = m_ref[:, :1]                       # (BQ, 1) base-2 domain
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    corr = jnp.exp(m_prev - m_new)              # (BQ, 1)
-    p = jnp.exp(s - m_new)                      # (BQ, BK)
+    corr = jnp.exp2(m_prev - m_new)             # (BQ, 1)
+    p = jnp.exp2(s - m_new)                     # (BQ, BK)
     l_ref[:, :1] = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:, :1] = m_new
 
@@ -112,6 +118,9 @@ def masked_attention_pallas(q, k, v, key_mask, block_q: int = 1024,
     qt = _pad_axis(qt, 1, n_pad)
     kt = _pad_axis(kt, 1, m_pad)
     vt = _pad_axis(vt, 1, m_pad)
+    # additive bias in the base-2 logit domain (see _attn_kernel): 0 for
+    # valid keys, NEG_INF for masked — NEG_INF needs no log2e rescale,
+    # it saturates either way
     bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
     bias = _pad_axis(bias, 1, m_pad, fill=NEG_INF)  # padded keys masked out
 
