@@ -358,3 +358,25 @@ def test_pipeline_compact_to_parity(rng):
     dropped = base["kept0"][0] & ~tiny["kept0"][0]
     if dropped.any() and tiny["kept0"][0].any():
         assert kept_scores.min() >= sc0[dropped].max()
+
+
+def test_ring_attention_equals_direct(rng):
+    """Keypoint-sharded ring attention over the 8-virtual-device mesh
+    agrees with dense masked attention (flash math across ppermute steps)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from gims_tpu.matcher.attention import masked_attention_direct
+    from gims_tpu.matcher.ring_attention import masked_attention_ring
+
+    b, n, m, h, d = 2, 64, 64, 4, 32
+    q = jnp.asarray(rng.randn(b, n, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, m, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, m, h, d).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, m) > 0.3)
+
+    mesh = Mesh(np.array(jax.devices()), ("kp",))
+    want = masked_attention_direct(q, k, v, mask)
+    got = masked_attention_ring(q, k, v, mask, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
