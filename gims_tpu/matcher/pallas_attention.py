@@ -63,7 +63,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
     # exponential is this kernel's VPU bottleneck (N*M*H evaluations per
     # trunk layer). exp2((s*scale + bias)*log2e - m2) == exp(x - m), so
     # the softmax value is unchanged; only rounding differs.
-    s = s * (scale * LOG2E) + bias_ref[...]  # bias (1, BK), pre-scaled
+    s = s * (scale * LOG2E) + bias_ref[0]  # bias (1, 1, BK) -> (1, BK)
 
     m_prev = m_ref[:, :1]                       # (BQ, 1) base-2 domain
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -123,6 +123,12 @@ def masked_attention_pallas(q, k, v, key_mask, block_q: int = 1024,
     # it saturates either way
     bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
     bias = _pad_axis(bias, 1, m_pad, fill=NEG_INF)  # padded keys masked out
+    # (B, 1, M): TPU block tiling constrains the LAST TWO dims of every
+    # block — a (1, block_k) block over (B, M) is only legal when B == 1
+    # (the sublane dim must divide 8 or equal the array dim). Carrying the
+    # bias as (B, 1, M) makes the block (1, 1, block_k), whose last-two
+    # dims (1, block_k) match the array's (1, M) tiling for every B.
+    bias = bias[:, None, :]
 
     scale = 1.0 / (float(d) ** 0.5)
     grid = (b * h, nq, nk)
@@ -137,7 +143,7 @@ def masked_attention_pallas(q, k, v, key_mask, block_q: int = 1024,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda bh, i, j: (bh // h, j),
+            pl.BlockSpec((1, 1, block_k), lambda bh, i, j: (bh // h, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0),
