@@ -196,6 +196,7 @@ def run_fused(pairs):
         "descriptor_source": source,
         "init_scheme": "identity",
         "topk_impl": os.environ.get("GIMS_BENCH_TOPK", "exact"),
+        "threshold_impl": os.environ.get("GIMS_BENCH_THRESH", "exact"),
         "radius": 15, "percentile": 2, "min_size": 7,
         "compact_to": (int(os.environ["GIMS_BENCH_COMPACT"])
                        if "GIMS_BENCH_COMPACT" in os.environ else None),

@@ -187,6 +187,8 @@ def build_graph(
     min_size: int,
     cc_rounds: int = 20,
     k=None,
+    threshold_impl: str = "exact",
+    threshold_stride: int = 4,
 ) -> AGCGraph:
     """Full AGC for one padded keypoint set.
 
@@ -211,17 +213,34 @@ def build_graph(
 
     # --- percentile threshold over the valid upper triangle ---
     triu = pair_valid & (idx[:, None] < idx[None, :])
-    if k is None:
-        nv = jnp.sum(valid.astype(jnp.int32))
-        count = (nv * (nv - 1)) // 2
-        k = jnp.floor(
-            count.astype(jnp.float32) * jnp.float32(percentile / 100.0)
+    if threshold_impl == "approx" and threshold_stride > 1:
+        # Subsampled percentile: exact k-th order statistic of every
+        # `stride`-th row's upper-triangle similarities. The multisection
+        # reads 1/stride of the matrix per pass; the rank is recomputed
+        # for the subsample's own pair count (the caller's k — exact for
+        # the full set — does not apply to the subsample).
+        s = int(threshold_stride)
+        sim_sub = sim[::s]
+        mask_sub = triu[::s]
+        cnt_sub = jnp.sum(mask_sub.astype(jnp.int32))
+        k_sub = jnp.floor(
+            cnt_sub.astype(jnp.float32) * jnp.float32(percentile / 100.0)
         ).astype(jnp.int32)
-        k = jnp.where(k >= count, count - 1, k)  # reference: agc.py:379
-        k = jnp.maximum(k, 0)
+        k_sub = jnp.clip(k_sub, 0, jnp.maximum(cnt_sub - 1, 0))
+        threshold = kth_smallest_masked(sim_sub, mask_sub, k_sub,
+                                        lo=-1.001, hi=1.001)
     else:
-        k = jnp.asarray(k, jnp.int32)
-    threshold = kth_smallest_masked(sim, triu, k, lo=-1.001, hi=1.001)
+        if k is None:
+            nv = jnp.sum(valid.astype(jnp.int32))
+            count = (nv * (nv - 1)) // 2
+            k = jnp.floor(
+                count.astype(jnp.float32) * jnp.float32(percentile / 100.0)
+            ).astype(jnp.int32)
+            k = jnp.where(k >= count, count - 1, k)  # reference: agc.py:379
+            k = jnp.maximum(k, 0)
+        else:
+            k = jnp.asarray(k, jnp.int32)
+        threshold = kth_smallest_masked(sim, triu, k, lo=-1.001, hi=1.001)
 
     # --- candidate edges: within radius AND similarity >= threshold ---
     radius = jnp.asarray(radius, jnp.float32)  # traced: sweeps don't recompile

@@ -30,6 +30,17 @@ class AGCConfig:
     # Fixed-iteration budget for connected-component label propagation.
     # ceil(log2(N)) + slack; verified against scipy in tests.
     cc_rounds: int = 20
+    # Percentile-threshold implementation. "exact" (parity default) finds
+    # the exact k-th order statistic of ALL valid upper-triangle cosine
+    # similarities (reference: models/agc.py:367-380 uses np.partition —
+    # also exact). "approx" runs the same multisection on every
+    # `threshold_stride`-th ROW of the similarity matrix: 1/stride the
+    # HBM traffic for a percentile estimated from N^2/(2*stride) pairs —
+    # at N=12288/stride=4 that is ~19M samples, giving a relative rank
+    # error of ~1e-4 (the threshold moves by less than adjacent-similarity
+    # spacing in practice; see tests/test_agc.py approx-vs-exact bound).
+    threshold_impl: str = "exact"
+    threshold_stride: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

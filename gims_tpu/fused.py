@@ -399,6 +399,8 @@ class FusedMatching:
             radius=float(config.get("radius", 15.0)),
             percentile=float(config.get("percentile", 2.0)),
             min_size=int(config.get("min_size", 7)),
+            threshold_impl=config.get("threshold_impl", "exact"),
+            threshold_stride=int(config.get("threshold_stride", 4)),
         )
         self.fe = FrontendConfig(
             interpolation="linear" if config.get("fast_frontend") else "cubic",

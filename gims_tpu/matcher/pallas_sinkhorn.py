@@ -27,14 +27,18 @@ ROW_BLOCK = 128
 
 def _sinkhorn_kernel(Z_ref, log_mu_ref, log_nu_ref, u_ref, v_ref,
                      *, iters: int, m1: int, n1: int):
-    """Z: (M1, N1) in HBM-ish (ANY); log_mu (1, M1); log_nu (1, N1).
+    """Z: (B, M1, N1) in HBM-ish (ANY), full array — the grid runs over
+    the batch axis and each step DMAs its own pair's row blocks (a
+    Squeezed batch BlockSpec on an ANY-space operand is not lowerable, so
+    batching must happen inside the kernel). log_mu/log_nu/u/v are
+    (1, M1)/(1, N1) per-batch VMEM blocks.
 
-    Outputs u (1, M1), v (1, N1). Row update computes
-    u = log_mu - lse_cols(Z + v); col update v = log_nu - lse_rows(Z + u),
-    both streamed over row blocks of Z with online accumulation for the
-    column reduction.
+    Row update computes u = log_mu - lse_cols(Z + v); col update
+    v = log_nu - lse_rows(Z + u), both streamed over row blocks of Z with
+    online accumulation for the column reduction.
     """
     nblocks = m1 // ROW_BLOCK  # m1 padded to a multiple of ROW_BLOCK
+    pid = pl.program_id(0)
 
     def body(scratch, mx_ref, s_ref, sems):
         u_ref[:] = jnp.zeros_like(u_ref)
@@ -42,7 +46,7 @@ def _sinkhorn_kernel(Z_ref, log_mu_ref, log_nu_ref, u_ref, v_ref,
 
         def start_dma(slot, b):
             return pltpu.make_async_copy(
-                Z_ref.at[pl.ds(b * ROW_BLOCK, ROW_BLOCK), :],
+                Z_ref.at[pid, pl.ds(b * ROW_BLOCK, ROW_BLOCK), :],
                 scratch.at[slot], sems.at[slot],
             )
 
@@ -59,13 +63,13 @@ def _sinkhorn_kernel(Z_ref, log_mu_ref, log_nu_ref, u_ref, v_ref,
                     start_dma(nxt, b + 1).start()
 
                 start_dma(slot, b).wait()
-                zb = scratch[slot] + v_ref[0, :][None, :]
+                zb = scratch[slot] + v_ref[0, 0, :][None, :]
                 mx = jnp.max(zb, axis=1)
                 mx = jnp.maximum(mx, NEG_INF)
                 s = jnp.sum(jnp.exp(zb - mx[:, None]), axis=1)
                 lse = mx + jnp.log(jnp.maximum(s, 1e-38))
-                u_ref[0, pl.ds(b * ROW_BLOCK, ROW_BLOCK)] = (
-                    log_mu_ref[0, pl.ds(b * ROW_BLOCK, ROW_BLOCK)]
+                u_ref[0, 0, pl.ds(b * ROW_BLOCK, ROW_BLOCK)] = (
+                    log_mu_ref[0, 0, pl.ds(b * ROW_BLOCK, ROW_BLOCK)]
                     - jnp.maximum(lse, NEG_INF)
                 )
                 return 0
@@ -88,7 +92,7 @@ def _sinkhorn_kernel(Z_ref, log_mu_ref, log_nu_ref, u_ref, v_ref,
                 start_dma(slot, b).wait()
                 zb = (
                     scratch[slot]
-                    + u_ref[0, pl.ds(b * ROW_BLOCK, ROW_BLOCK)][:, None]
+                    + u_ref[0, 0, pl.ds(b * ROW_BLOCK, ROW_BLOCK)][:, None]
                 )
                 blk_mx = jnp.max(zb, axis=0)
                 new_mx = jnp.maximum(mx_ref[0, :], blk_mx)
@@ -101,7 +105,7 @@ def _sinkhorn_kernel(Z_ref, log_mu_ref, log_nu_ref, u_ref, v_ref,
 
             jax.lax.fori_loop(0, nblocks, col_block, 0)
             lse = mx_ref[0, :] + jnp.log(jnp.maximum(s_ref[0, :], 1e-38))
-            v_ref[0, :] = log_nu_ref[0, :] - jnp.maximum(lse, NEG_INF)
+            v_ref[0, 0, :] = log_nu_ref[0, 0, :] - jnp.maximum(lse, NEG_INF)
             return 0
 
         jax.lax.fori_loop(0, iters, one_iter, 0)
@@ -116,39 +120,58 @@ def _sinkhorn_kernel(Z_ref, log_mu_ref, log_nu_ref, u_ref, v_ref,
 
 
 def sinkhorn_uv_pallas(Z, log_mu, log_nu, iters: int, interpret=False):
-    """Compute the (u, v) potentials for one (M1, N1) coupling matrix."""
-    m1, n1 = Z.shape
+    """Compute (u, v) potentials for a batch of coupling matrices.
+
+    Z: (B, M1, N1); log_mu: (B, M1); log_nu: (B, N1). The batch axis is
+    the kernel grid — each grid step streams its own pair, so the whole
+    batched fused program stays ONE pallas_call (a vmap over the call
+    would put a Squeezed batch dim on the ANY-space operand, which the
+    TPU lowering rejects)."""
+    bsz, m1, n1 = Z.shape
     pad_m = (-m1) % ROW_BLOCK
     pad_n = (-n1) % 128  # Mosaic requires lane-aligned HBM slices
     if pad_m or pad_n:
-        Z = jnp.pad(Z, ((0, pad_m), (0, pad_n)), constant_values=NEG_INF)
-        log_mu = jnp.pad(log_mu, (0, pad_m), constant_values=NEG_INF)
-        log_nu = jnp.pad(log_nu, (0, pad_n), constant_values=NEG_INF)
+        Z = jnp.pad(Z, ((0, 0), (0, pad_m), (0, pad_n)),
+                    constant_values=NEG_INF)
+        log_mu = jnp.pad(log_mu, ((0, 0), (0, pad_m)),
+                         constant_values=NEG_INF)
+        log_nu = jnp.pad(log_nu, ((0, 0), (0, pad_n)),
+                         constant_values=NEG_INF)
     m1p, n1p = m1 + pad_m, n1 + pad_n
     kernel = functools.partial(
         _sinkhorn_kernel, iters=iters, m1=m1p, n1=n1p
     )
+    # Vectors ride as (B, 1, len) so each grid step's VMEM block is
+    # (1, 1, len): the TPU lowering requires the block's last two dims to
+    # be (8, 128)-aligned OR equal to the array's — (1, len) equals the
+    # array's trailing dims, whereas a (1, len) block of a (B, len) array
+    # does not when B > 1.
     u, v = pl.pallas_call(
         kernel,
+        grid=(bsz,),
         out_shape=(
-            jax.ShapeDtypeStruct((1, m1p), jnp.float32),
-            jax.ShapeDtypeStruct((1, n1p), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, m1p), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, n1p), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Z, log_mu[None, :], log_nu[None, :])
-    return u[0, :m1], v[0, :n1]
+    )(Z, log_mu[:, None, :], log_nu[:, None, :])
+    return u[:, 0, :m1], v[:, 0, :n1]
 
 
 def log_optimal_transport_pallas(scores, alpha, iters, row_mask, col_mask,
@@ -190,9 +213,7 @@ def log_optimal_transport_pallas(scores, alpha, iters, row_mask, col_mask,
         axis=1,
     )
 
-    def one(Zi, mui, nui):
-        u, v = sinkhorn_uv_pallas(Zi, mui, nui, iters, interpret=interpret)
-        return Zi + u[:, None] + v[None, :]
-
-    Z = jax.vmap(one)(couplings, log_mu, log_nu)
+    u, v = sinkhorn_uv_pallas(couplings, log_mu, log_nu, iters,
+                              interpret=interpret)
+    Z = couplings + u[:, :, None] + v[:, None, :]
     return Z - norm[:, None, None]

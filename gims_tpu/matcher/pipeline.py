@@ -36,6 +36,8 @@ def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None,
         percentile=acfg.percentile,
         min_size=min_size,
         cc_rounds=acfg.cc_rounds,
+        threshold_impl=acfg.threshold_impl,
+        threshold_stride=acfg.threshold_stride,
     )
     if k is None:
         out = jax.vmap(lambda a, b, c: fn(a, b, c))(kpts, descs, valid)

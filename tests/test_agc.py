@@ -187,6 +187,36 @@ def test_kth_smallest_exact(rng, percentile):
     assert got == subset[k]
 
 
+def test_threshold_approx_close_to_exact():
+    """threshold_impl='approx' (strided row subsample) must land within a
+    tight percentile band of the exact threshold: the rank error of a
+    subsample of m pairs is O(sqrt(m)), i.e. a tiny percentile shift."""
+    rng = np.random.RandomState(3)
+    n = 512
+    kpts = (rng.rand(n, 2) * 300).astype(np.float32)
+    descs = rng.randn(n, 32).astype(np.float32)
+    valid = np.ones(n, bool)
+    args = (jnp.asarray(kpts), jnp.asarray(descs), jnp.asarray(valid))
+    exact = build_graph(*args, radius=25.0, percentile=7.0, min_size=5)
+    approx = build_graph(*args, radius=25.0, percentile=7.0, min_size=5,
+                         threshold_impl="approx", threshold_stride=4)
+    # percentile rank of the approx threshold within the full valid set
+    normed = descs / np.maximum(
+        np.linalg.norm(descs, axis=1, keepdims=True), 1e-12)
+    sim = normed @ normed.T
+    triu = np.triu_indices(n, k=1)
+    vals = np.sort(sim[triu])
+    r_exact = np.searchsorted(vals, float(exact.threshold)) / len(vals)
+    r_approx = np.searchsorted(vals, float(approx.threshold)) / len(vals)
+    assert abs(r_exact - 0.07) < 1e-3
+    assert abs(r_approx - r_exact) < 0.01  # sub-percent rank error
+    # the resulting graphs should be nearly identical
+    e_adj = np.asarray(exact.adj)
+    a_adj = np.asarray(approx.adj)
+    agree = (e_adj == a_adj).mean()
+    assert agree > 0.999
+
+
 def test_delaunay_adjacency():
     rng = np.random.RandomState(1)
     n, nb = 50, 64
