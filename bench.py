@@ -175,6 +175,15 @@ def run_fused(pairs):
     # SIFT-descriptor weights via the staged path — see README.
     # weight preference: joint end-to-end (matcher + trained CNN) >
     # eval-regime fine-tune > base dense_gray run > color dense
+    # operating point (round 3): firstOctave=0 detection (no 2x upsample
+    # — the upsampled octave carries sub-pixel-scale keypoints the AGC
+    # prunes anyway and costs ~3/4 of the extraction pass), 6144-keypoint
+    # budget (captures effectively all no-upsample detections at
+    # 800x600), AGC-kept compaction to 4096 for the trunk + OT, approx
+    # top-k / threshold (FusedMatching TPU auto-defaults). Weights are
+    # trained end-to-end at THIS exact geometry (configs/
+    # e2e_fo0_800.yaml); quality at these knobs is recorded in
+    # docs/quality_records/ and the README tables.
     car_variables = None
     variables = load_variables("gims_tpu_dense_gray_e2e.npz")
     source = "dense_gray"
@@ -187,6 +196,9 @@ def run_fused(pairs):
     if variables is None:
         variables = load_variables("gims_tpu_dense.npz")
         source = "dense" if variables is not None else "dense_gray"
+    upsample = os.environ.get("GIMS_BENCH_UPSAMPLE", "0") == "1"
+    if source != "dense_gray":
+        upsample = True  # color paths assume the upsampled geometry
     matcher = FusedMatching({
         "sinkhorn_iterations": 20,
         "match_threshold": 0.02,
@@ -195,18 +207,19 @@ def run_fused(pairs):
         "fast_frontend": True,
         "descriptor_source": source,
         "init_scheme": "identity",
-        "topk_impl": os.environ.get("GIMS_BENCH_TOPK", "exact"),
-        "threshold_impl": os.environ.get("GIMS_BENCH_THRESH", "exact"),
+        "upsample": upsample,
+        "topk_impl": os.environ.get("GIMS_BENCH_TOPK", "approx"),
+        "threshold_impl": os.environ.get("GIMS_BENCH_THRESH", "approx"),
         "radius": 15, "percentile": 2, "min_size": 7,
-        "compact_to": (int(os.environ["GIMS_BENCH_COMPACT"])
-                       if "GIMS_BENCH_COMPACT" in os.environ else None),
+        **({"compact_to": int(os.environ["GIMS_BENCH_COMPACT"])}
+           if "GIMS_BENCH_COMPACT" in os.environ else {}),
     }, variables=variables, car_variables=car_variables,
-        total_keypoints=int(os.environ.get("GIMS_BENCH_KPTS", "12288")))
+        total_keypoints=int(os.environ.get("GIMS_BENCH_KPTS", "6144")))
 
     # single-channel frames for dense_gray: 3x less tunnel traffic, and
     # the device gray conversion is skipped (same BGR weights as cv2)
     gray = source == "dense_gray"
-    batch = int(os.environ.get("GIMS_BENCH_BATCH", "1"))
+    batch = int(os.environ.get("GIMS_BENCH_BATCH", "8"))
     if batch > 1:
         # 2 warmup batches + 4 timed batches
         pairs = make_images(6 * batch)

@@ -75,11 +75,16 @@ class Matching:
             self.max_keypoints = config.frontend.max_keypoints
         else:
             config = dict(config or {})
+            # fast-by-default on TPU (like attention_impl="auto"):
+            # bf16 attention + Pallas Sinkhorn unless overridden; CPU
+            # keeps exact f32/XLA for tests and parity runs
+            on_tpu = jax.default_backend() == "tpu"
             mcfg = MatcherConfig(
                 sinkhorn_iterations=config.get("sinkhorn_iterations", 100),
                 match_threshold=config.get("match_threshold", 0.2),
-                attention_dtype=config.get("attention_dtype", "float32"),
-                use_pallas_sinkhorn=config.get("use_pallas_sinkhorn", False),
+                attention_dtype=config.get(
+                    "attention_dtype", "bfloat16" if on_tpu else "float32"),
+                use_pallas_sinkhorn=config.get("use_pallas_sinkhorn", on_tpu),
             )
             self.cfg = GIMSConfig(matcher=mcfg)
             self.max_keypoints = config.get("max_keypoints", -1)

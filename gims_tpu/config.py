@@ -136,6 +136,21 @@ class FrontendConfig:
     # of them identical, the rest swapped for near-threshold candidates
     # (low-response detections are interchangeable noise for matching).
     topk_impl: str = "exact"
+    # Detection pyramid base. True = OpenCV SIFT's firstOctave=-1 (2x
+    # bilinear upsample — reference: utils/library.py:245-247): octave 0
+    # is 4x the input area and costs ~3/4 of the whole pyramid + DoG +
+    # candidate pass for sub-pixel-scale keypoints the matcher mostly
+    # prunes anyway. False = firstOctave=0: the pyramid starts at input
+    # resolution (initial blur sqrt(sigma^2 - 0.5^2), OpenCV's no-upsample
+    # convention) — the fused speed path.
+    upsample: bool = True
+    # Pyramid layers (1..N_OCTAVE_LAYERS) that get a dense descriptor map
+    # per octave in the dense/dense_gray path. Keypoints at other layers
+    # sample the nearest available layer's map. (1, 2, 3) matches every
+    # detection layer exactly; (2,) runs the descriptor CNN once per
+    # octave (~3x less conv work) and absorbs the <=26% within-octave
+    # scale mismatch in training.
+    dense_layers: Tuple[int, ...] = (1, 2, 3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,6 +208,11 @@ class TrainConfig:
     # many epochs while the descriptor CNN learns against it — joint
     # updates from a fresh CNN at full LR destabilize both nets.
     freeze_gmatcher_epochs: int = 0
+    # fused-e2e auxiliary InfoNCE descriptor loss weight (0 = off): GT
+    # correspondences supervise the dense CNN directly (metric learning,
+    # the reference's standalone triplet stage folded into joint
+    # training); see train/fused_step.descriptor_info_nce.
+    desc_loss_weight: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -267,6 +287,8 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         minloss_every=tp.get("minloss_every", cfg.train.minloss_every),
         freeze_gmatcher_epochs=tp.get("freeze_gmatcher_epochs",
                                       cfg.train.freeze_gmatcher_epochs),
+        desc_loss_weight=tp.get("desc_loss_weight",
+                                cfg.train.desc_loss_weight),
     )
     frontend = _update(
         cfg.frontend,
@@ -277,6 +299,9 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         interpolation=fp.get("interpolation", cfg.frontend.interpolation),
         warp_size=fp.get("warp_size", cfg.frontend.warp_size),
         max_keypoints=fp.get("max_keypoints", cfg.frontend.max_keypoints),
+        upsample=fp.get("upsample", cfg.frontend.upsample),
+        dense_layers=tuple(fp.get("dense_layers",
+                                  cfg.frontend.dense_layers)),
     )
     optimizer = _update(
         cfg.optimizer,

@@ -74,30 +74,33 @@ def _sep_blur_hw(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     return x[0, :, :, 0]
 
 
-def gray_kernels():
+def gray_kernels(upsample: bool = True):
     """1-D kernels of the detection pyramid blur chain: index 0 = the
-    initial blur to sigma on the doubled grid, 1..5 = incremental sigmas."""
-    sig_diff = math.sqrt(max(SIGMA**2 - 4 * 0.25, 0.01))
+    initial blur to sigma on the base grid (doubled when upsample, else
+    the input grid with assumed camera sigma 0.5), 1..5 = incremental
+    sigmas."""
+    base_var = 4 * 0.25 if upsample else 0.25
+    sig_diff = math.sqrt(max(SIGMA**2 - base_var, 0.01))
     return [gaussian_kernel_1d(sig_diff)] + [
         gaussian_kernel_1d(s) for s in blur_sigmas()[1:]
     ]
 
 
-def build_gray_blur(h: int, w: int):
+def build_gray_blur(h: int, w: int, upsample: bool = True):
     """Device band-matrix pytree for gray_pyramid(blur=...) at (h, w).
 
-    {"init": (bh, bw) for the doubled base, "oct": [per octave:
+    {"init": (bh, bw) for the base, "oct": [per octave:
     [(bh, bw) for kernels 1..5]]}. ~110 MB HBM at 800x600; built once per
     process per image shape (matrices constructed on device — nothing
     O(n^2) crosses the tunnel or bloats the executable).
     """
     from gims_tpu.frontend.blurmat import BlurMats
 
-    kerns = gray_kernels()
+    kerns = gray_kernels(upsample)
     bm = BlurMats(kerns)
-    n_oct = num_octaves(2 * h, 2 * w)
+    hh, ww = (2 * h, 2 * w) if upsample else (h, w)
+    n_oct = num_octaves(hh, ww)
     oct_mats = []
-    hh, ww = 2 * h, 2 * w
     init = (bm.get(hh, 0), bm.get(ww, 0))
     for _o in range(n_oct):
         oct_mats.append([(bm.get(hh, ki), bm.get(ww, ki))
@@ -106,16 +109,20 @@ def build_gray_blur(h: int, w: int):
     return {"init": init, "oct": oct_mats}
 
 
-def gray_pyramid(image_u8: jnp.ndarray, h: int, w: int, blur=None):
+def gray_pyramid(image_u8: jnp.ndarray, h: int, w: int, blur=None,
+                 upsample: bool = True):
     """uint8 (H, W, 3) BGR — or an already-gray (H, W) — -> list of
     (6, H>>o, W>>o) gray octaves.
 
     Matches OpenCV SIFT's detection pyramid: BGR2GRAY, 2x linear
-    upsample, initial blur to reach sigma on the doubled grid.
+    upsample (firstOctave=-1; upsample=False skips it — firstOctave=0,
+    the fused speed path: ~4x less pyramid/DoG/candidate work), initial
+    blur to reach sigma on the base grid.
 
-    blur: optional build_gray_blur(h, w) pytree — blurs then run as
-    banded matmuls on the MXU (exact cv2 parity, ~5x the single-channel
-    conv path on TPU; see frontend/blurmat.py). Default: depthwise convs.
+    blur: optional build_gray_blur(h, w, upsample) pytree — blurs then
+    run as banded matmuls on the MXU (exact cv2 parity, ~5x the
+    single-channel conv path on TPU; see frontend/blurmat.py).
+    Default: depthwise convs.
     """
     from gims_tpu.frontend.blurmat import sep_blur_matmul
 
@@ -125,8 +132,14 @@ def gray_pyramid(image_u8: jnp.ndarray, h: int, w: int, blur=None):
         bgr = image_u8.astype(jnp.float32)
         gray = (0.114 * bgr[..., 0] + 0.587 * bgr[..., 1]
                 + 0.299 * bgr[..., 2])
-    base = upsample2x(gray[..., None])[..., 0]
-    sig_diff = math.sqrt(max(SIGMA**2 - 4 * 0.25, 0.01))
+    if upsample:
+        base = upsample2x(gray[..., None])[..., 0]
+        bh, bw = 2 * h, 2 * w
+    else:
+        base = gray
+        bh, bw = h, w
+    base_var = 4 * 0.25 if upsample else 0.25
+    sig_diff = math.sqrt(max(SIGMA**2 - base_var, 0.01))
     if blur is not None:
         base = sep_blur_matmul(base, *blur["init"])
     else:
@@ -136,7 +149,7 @@ def gray_pyramid(image_u8: jnp.ndarray, h: int, w: int, blur=None):
     kerns = [jnp.asarray(gaussian_kernel_1d(s)) for s in sigs]
     octaves = []
     img = base
-    for o in range(num_octaves(2 * h, 2 * w)):
+    for o in range(num_octaves(bh, bw)):
         layers = [img]
         for i in range(1, N_OCTAVE_LAYERS + 3):
             if blur is not None:

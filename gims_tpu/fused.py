@@ -59,16 +59,18 @@ FLT_EPSILON = 1.19209e-07
 WARP_CHUNK = 512
 
 
-def octave_budgets(h: int, w: int, total: int) -> Tuple[int, ...]:
+def octave_budgets(h: int, w: int, total: int,
+                   upsample: bool = True) -> Tuple[int, ...]:
     """Static per-octave keypoint budgets: ~4x decay, 32 minimum, summing
     to exactly `total` (remainder to octave 0, where most detections are).
     """
-    n_oct = num_octaves(2 * h, 2 * w)
+    bh, bw = (2 * h, 2 * w) if upsample else (h, w)
+    n_oct = num_octaves(bh, bw)
     raw = []
     for o in range(n_oct):
         raw.append(max(32, total // (2 * 4**o)))
     # octave areas shrink 4x per level; never budget more than the plane
-    raw = [min(b, 3 * (2 * h >> o) * (2 * w >> o)) for o, b in enumerate(raw)]
+    raw = [min(b, 3 * (bh >> o) * (bw >> o)) for o, b in enumerate(raw)]
     excess = sum(raw) - total
     raw[0] -= excess
     if raw[0] < 32:
@@ -97,14 +99,24 @@ def _device_inverse_affines(px, py, size_oct, angle, warp_size):
     return jnp.stack([row0, row1], axis=-2)  # (K, 2, 3)
 
 
-def _dense_sample(maps3, px, py, layer, valid):
-    """Bilinear descriptor sampling from a (3, mh, mw, D) dense map stack.
+def _dense_sample(maps3, px, py, layer, valid,
+                  dense_layers: Tuple[int, ...] = (1, 2, 3)):
+    """Bilinear descriptor sampling from a (L, mh, mw, D) dense map stack
+    (one map per entry of `dense_layers`; a keypoint at another layer
+    samples the nearest available map).
 
     px/py are octave-level pixel coords; the stride-4 SAME-padded dense map
     has a +2 px center offset (see frontend/dense.py geometry)."""
     _, mh, mw, ddim = maps3.shape
     flat = maps3.reshape(-1, ddim)
-    lidx = jnp.clip(layer - 1, 0, 2)
+    if len(dense_layers) == 1:
+        lidx = jnp.zeros_like(layer)
+    else:
+        # static nearest-layer lookup table over layer values 0..4
+        lut = np.asarray(
+            [int(np.argmin([abs(dl - l) for dl in dense_layers]))
+             for l in range(5)], np.int32)
+        lidx = jnp.take(jnp.asarray(lut), jnp.clip(layer, 0, 4))
     mx = (px - 2.0) / 4.0
     my = (py - 2.0) / 4.0
     x0 = jnp.floor(mx)
@@ -148,7 +160,7 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
     image (3x less host->device traffic). Weights are trained in-repo
     against this exact geometry."""
     gray_desc = dense_model is not None and fe.descriptor_source == "dense_gray"
-    octs_gray = gray_pyramid(image_u8, h, w, blur)
+    octs_gray = gray_pyramid(image_u8, h, w, blur, fe.upsample)
     if dense_model is not None and fe.dense_dtype != "float32":
         ddt = jnp.dtype(fe.dense_dtype)
         car_variables = jax.tree_util.tree_map(
@@ -167,12 +179,18 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
             functools.partial(dense_model.apply, train=False))
     if gray_desc:
         octs_color = None
-        first_map_oct = 1 if len(octs_gray) > 1 else 0
+        # with the 2x-upsampled base, octave 0 (4x input area, ~3/4 of
+        # the dense conv FLOPs) is skipped: its keypoints sample octave
+        # 1's maps at halved coordinates. Without upsampling, octave 0
+        # IS input resolution and gets maps directly.
+        first_map_oct = 1 if (fe.upsample and len(octs_gray) > 1) else 0
         gray_maps = {}
         for o in range(first_map_oct, len(octs_gray)):
             if min(int(octs_gray[o].shape[1]), int(octs_gray[o].shape[2])) < 16:
                 break
-            levels = octs_gray[o][1:4][..., None].astype(ddt) / 255.0
+            levels = jnp.stack(
+                [octs_gray[o][l] for l in fe.dense_layers]
+            )[..., None].astype(ddt) / 255.0
             gray_maps[o] = dense_apply(car_variables, levels)
     else:
         base = upsample2x(image_u8.astype(jnp.float32))
@@ -224,7 +242,7 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
             f = 2.0 ** (o - src)  # octave-o coords -> octave-src coords
             patches = _dense_sample(
                 gray_maps[src], px * f, py * f, layer,
-                valid.astype(jnp.float32)
+                valid.astype(jnp.float32), fe.dense_layers,
             )  # (k_sel, D) descriptors directly
         elif dense_model is not None:
             levels = octs_color[o][1:4].astype(ddt) / 255.0
@@ -254,7 +272,7 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
                 ))
             patches = jnp.concatenate(chunks, axis=0)[:k_sel] / 255.0
 
-        scale_mult = float(2 ** (o - 1))
+        scale_mult = float(2 ** (o - 1)) if fe.upsample else float(2 ** o)
         kp_in = jnp.stack([px * scale_mult, py * scale_mult], axis=-1)
         kp_in = jnp.where(valid[:, None], kp_in, 1e6)
 
@@ -389,26 +407,42 @@ class FusedMatching:
         from gims_tpu.carhynet.model import CARHyNet
 
         config = dict(config or {})
+        # Fast-by-default on TPU (mirrors attention_impl="auto"): a bare
+        # FusedMatching() gets the measured-fastest knob set on a TPU
+        # backend — bf16 attention, Pallas streaming Sinkhorn, approx
+        # top-k / AGC threshold, fast patch taps — while CPU (tests,
+        # parity runs) keeps the exact f32/XLA defaults. Every knob stays
+        # individually overridable through `config`.
+        on_tpu = jax.default_backend() == "tpu"
         self.mcfg = MatcherConfig(
             sinkhorn_iterations=config.get("sinkhorn_iterations", 20),
             match_threshold=config.get("match_threshold", 0.02),
-            attention_dtype=config.get("attention_dtype", "float32"),
-            use_pallas_sinkhorn=config.get("use_pallas_sinkhorn", False),
+            attention_dtype=config.get(
+                "attention_dtype", "bfloat16" if on_tpu else "float32"),
+            use_pallas_sinkhorn=config.get("use_pallas_sinkhorn", on_tpu),
         )
         self.acfg = AGCConfig(
             radius=float(config.get("radius", 15.0)),
             percentile=float(config.get("percentile", 2.0)),
             min_size=int(config.get("min_size", 7)),
-            threshold_impl=config.get("threshold_impl", "exact"),
+            threshold_impl=config.get(
+                "threshold_impl", "approx" if on_tpu else "exact"),
             threshold_stride=int(config.get("threshold_stride", 4)),
         )
+        fast = config.get("fast_frontend", on_tpu)
         self.fe = FrontendConfig(
-            interpolation="linear" if config.get("fast_frontend") else "cubic",
-            warp_size=32 if config.get("fast_frontend") else 64,
+            interpolation="linear" if fast else "cubic",
+            warp_size=32 if fast else 64,
             descriptor_source=config.get("descriptor_source", "carhynet"),
             dense_dtype=config.get("dense_dtype", "bfloat16"),
-            topk_impl=config.get("topk_impl", "exact"),
+            topk_impl=config.get("topk_impl", "approx" if on_tpu else "exact"),
+            upsample=bool(config.get("upsample", True)),
+            dense_layers=tuple(config.get("dense_layers", (1, 2, 3))),
         )
+        if not self.fe.upsample and self.fe.descriptor_source != "dense_gray":
+            raise ValueError("upsample=False requires descriptor_source="
+                             "'dense_gray' (the color pyramid paths assume "
+                             "the 2x-upsampled octave geometry)")
         self.total = total_keypoints
         if variables is None:
             variables = init_gmatcher_variables(
@@ -434,7 +468,15 @@ class FusedMatching:
         # trunk bucket after AGC kept-compaction (None = no compaction).
         # At the eval knobs AGC keeps ~half the detection budget, so
         # compact_to ~= 2/3 * total buys a ~2x cheaper trunk + OT.
-        self.compact_to = config.get("compact_to")
+        # Default on TPU: auto-size to 2/3 of the budget (1024-aligned);
+        # pass compact_to=None explicitly to disable.
+        if "compact_to" in config:
+            self.compact_to = config["compact_to"]
+        elif on_tpu and total_keypoints > 3072:
+            self.compact_to = ((total_keypoints * 2 // 3 + 1023)
+                               // 1024) * 1024
+        else:
+            self.compact_to = None
         self._blur = {}
         self._jit = functools.partial(
             jax.jit, static_argnums=(2, 3, 4, 5, 6, 9, 10, 11, 12, 14)
@@ -467,9 +509,9 @@ class FusedMatching:
         from gims_tpu.frontend.detect_device import build_gray_blur
 
         h, w = img0.shape[:2]
-        budgets = octave_budgets(h, w, self.total)
+        budgets = octave_budgets(h, w, self.total, self.fe.upsample)
         if (h, w) not in self._blur:
-            self._blur[(h, w)] = build_gray_blur(h, w)
+            self._blur[(h, w)] = build_gray_blur(h, w, self.fe.upsample)
         return self._jit(
             self.variables, self.car_variables, self.car_model,
             self.mcfg, self.acfg, self.fe, budgets,
@@ -488,9 +530,9 @@ class FusedMatching:
             imgs0 = np.stack(imgs0)
             imgs1 = np.stack(imgs1)
         h, w = int(imgs0.shape[1]), int(imgs0.shape[2])
-        budgets = octave_budgets(h, w, self.total)
+        budgets = octave_budgets(h, w, self.total, self.fe.upsample)
         if (h, w) not in self._blur:
-            self._blur[(h, w)] = build_gray_blur(h, w)
+            self._blur[(h, w)] = build_gray_blur(h, w, self.fe.upsample)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 

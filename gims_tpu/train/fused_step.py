@@ -59,6 +59,34 @@ def split_joint(params, batch_stats):
     )
 
 
+def descriptor_info_nce(d0, d1, m0, m1, va0, va1, tau: float = 0.1):
+    """Symmetric InfoNCE over GT-corresponding descriptors.
+
+    d0/d1: (N, D) L2-normalized descriptors (the 128-d halves); m0/m1:
+    reprojection GT (index of the match on the other side, -1 = none);
+    va0/va1: validity masks. Every other-side valid keypoint is a
+    negative. This supervises the dense CNN *directly* (metric learning,
+    like the reference's standalone Loss_HyNet triplet stage — reference:
+    carhynet/models.py:520-636) alongside the task gradient that flows
+    through AGC + trunk + Sinkhorn, which on its own moves descriptors
+    only through 20 OT iterations' worth of softmax smoothing.
+    """
+    big_neg = jnp.float32(-1e9)
+
+    def one_side(da, db, ma, vb):
+        logits = jnp.matmul(da, db.T,
+                            precision=jax.lax.Precision.HIGH) / tau
+        logits = jnp.where(vb[None, :], logits, big_neg)
+        logp = jax.nn.log_softmax(logits, axis=1)
+        pos = ma >= 0
+        tgt = jnp.clip(ma, 0)
+        picked = jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+        cnt = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+        return -jnp.sum(jnp.where(pos, picked, 0.0)) / cnt
+
+    return 0.5 * (one_side(d0, d1, m0, va1) + one_side(d1, d0, m1, va0))
+
+
 def make_fused_e2e_train_step(cfg: GIMSConfig, tx, image_shape, budgets,
                               blur_mats, car_model, dense_model,
                               axis_name=None, freeze_steps: int = 0):
@@ -74,11 +102,15 @@ def make_fused_e2e_train_step(cfg: GIMSConfig, tx, image_shape, budgets,
     frozen weights) while the descriptor CNN learns against the
     warm-started matcher; joint updates from a fresh CNN at full LR were
     measured to destabilize both nets (epoch-1 loss 1.42 -> 2.47).
+
+    cfg.train.desc_loss_weight > 0 adds the InfoNCE descriptor loss
+    (descriptor_info_nce) on the GT correspondences.
     """
     from gims_tpu.fused import _extract_side
 
     mcfg, acfg = cfg.matcher, cfg.agc
     h, w = image_shape
+    dlw = float(cfg.train.desc_loss_weight)
     import dataclasses
 
     # CNN compute in bf16 (params/grads/moments stay f32 — _extract_side
@@ -115,6 +147,10 @@ def make_fused_e2e_train_step(cfg: GIMSConfig, tx, image_shape, budgets,
                 kp1[None], de1[None], va1[None],
                 rows, row_valid, image_shape,
             )
+            if dlw > 0:
+                dnce = descriptor_info_nce(
+                    de0[:, :128], de1[:, :128], m0, m1, va0, va1)
+                total = total + dlw * dnce
             return total, (pos, neg, updates)
 
         (total, (pos, neg, updates)), grads = jax.value_and_grad(

@@ -277,8 +277,9 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
 
         if n_devices > 1:
             raise NotImplementedError("fused_e2e is single-device for now")
-        budgets = octave_budgets(*image_shape, tcfg.max_keypoints)
-        blur_mats = build_gray_blur(*image_shape)
+        budgets = octave_budgets(*image_shape, tcfg.max_keypoints,
+                                 cfg.frontend.upsample)
+        blur_mats = build_gray_blur(*image_shape, cfg.frontend.upsample)
         dense_model = CARHyNet(dense=True, in_channels=1)
         freeze_steps = tcfg.freeze_gmatcher_epochs * num_batches
         if freeze_steps:
@@ -295,6 +296,8 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
             "attention_dtype": "bfloat16",
             "fast_frontend": True,
             "descriptor_source": "dense_gray",
+            "upsample": cfg.frontend.upsample,
+            "dense_layers": cfg.frontend.dense_layers,
             "radius": cfg.agc.radius, "percentile": cfg.agc.percentile,
             "min_size": cfg.agc.min_size,
         }, variables=init_gmatcher_variables(cfg.matcher),
