@@ -143,9 +143,35 @@ class FeatureFrontend:
         t0 = time.perf_counter()
         host_desc = None
         if self.cfg.descriptor_source == "sift":
-            kp, host_desc = detect_and_describe(
-                image_bgr, self.cfg, max_keypoints, train_topup, rng
-            )
+            if self.cfg.detector == "device" and not train_topup:
+                # middle ground (VERDICT r2 item 7): device DoG detection
+                # (the host detect is the staged path's ~0.24 s/image
+                # single-core ceiling) + host cv2 SIFT descriptors at the
+                # detected keypoints — stays compatible with the
+                # SIFT-descriptor-trained weights.
+                from gims_tpu.frontend.detect_device import detect_device
+                from gims_tpu.frontend.sift import (
+                    arrays_to_keypoints,
+                    keypoints_to_arrays,
+                    make_sift,
+                )
+
+                mk = max_keypoints if max_keypoints and max_keypoints > 0 \
+                    else (bucket or 12288)
+                kp_dev, _ = detect_device(
+                    image_bgr, mk, self.cfg.contrast_threshold,
+                    self.cfg.edge_threshold,
+                )
+                kps_cv, host_desc = make_sift(self.cfg).compute(
+                    image_bgr, arrays_to_keypoints(kp_dev))
+                if host_desc is None:
+                    host_desc = np.zeros((0, 128), np.float32)
+                host_desc = host_desc.astype(np.uint8)
+                kp = keypoints_to_arrays(kps_cv)
+            else:
+                kp, host_desc = detect_and_describe(
+                    image_bgr, self.cfg, max_keypoints, train_topup, rng
+                )
         elif self.cfg.detector == "device" and not train_topup:
             from gims_tpu.frontend.detect_device import detect_device
 

@@ -70,6 +70,22 @@ def keypoints_to_arrays(kps) -> KeypointArrays:
     return KeypointArrays(pt, size, angle, response, octave, layer, scale)
 
 
+def arrays_to_keypoints(kp: KeypointArrays):
+    """Inverse of keypoints_to_arrays: rebuild cv2.KeyPoint objects with
+    OpenCV's packed-octave convention so cv2.SIFT.compute can describe
+    keypoints found by the DEVICE detector (frontend/detect_device.py).
+    The sub-scale byte (xi) is left 0 — cv2's descriptor path never reads
+    it (only octave/layer/size/angle matter)."""
+    out = []
+    for i in range(len(kp)):
+        packed = (int(kp.octave[i]) & 0xFF) | ((int(kp.layer[i]) & 0xFF) << 8)
+        out.append(cv2.KeyPoint(
+            float(kp.pt[i, 0]), float(kp.pt[i, 1]), float(kp.size[i]),
+            float(kp.angle[i]), float(kp.response[i]), packed,
+        ))
+    return out
+
+
 def filter_top_responses(kps, max_num: int):
     """Keep the strongest max_num keypoints by response.
 

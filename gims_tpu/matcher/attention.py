@@ -101,6 +101,15 @@ def masked_attention(q, k, v, key_mask, precision=None, impl: str = "auto"):
     impl: "auto" (pallas on TPU above FLASH_THRESHOLD, else direct/flash),
     or force "direct" / "flash" / "pallas" / "pallas_interpret".
     """
+    if impl == "ring":
+        from gims_tpu.matcher.ring_attention import (
+            get_ring_mesh,
+            masked_attention_ring,
+        )
+
+        mesh, axis = get_ring_mesh()
+        return masked_attention_ring(q, k, v, key_mask, mesh=mesh,
+                                     axis_name=axis)
     if impl in ("pallas", "pallas_interpret"):
         from gims_tpu.matcher.pallas_attention import masked_attention_pallas
 

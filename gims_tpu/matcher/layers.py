@@ -79,7 +79,11 @@ class ChannelLayerNorm(nn.Module):
         # unbiased std to match torch.Tensor.std default
         n = x.shape[-1]
         var = jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True) / max(n - 1, 1)
-        std = jnp.sqrt(var)
+        # +1e-20 inside the sqrt: d/dx sqrt(0) is inf, and zeroed padding
+        # tokens hit var == 0 exactly — one such token NaN-poisons every
+        # parameter gradient. Numerically invisible (sqrt(1e-20) = 1e-10
+        # vs eps = 1e-6 in the denominator); torch parity unaffected.
+        std = jnp.sqrt(var + 1e-20)
         return a * ((x - mean) / (std + self.eps)) + b
 
 

@@ -131,6 +131,7 @@ def forward_match(
     radius=None, min_size=None,  # optional traced AGC knobs
     compact_to=None,      # static int: trunk bucket after AGC compaction
     scores0=None, scores1=None,  # detection scores (compaction order)
+    shard_axis=None,      # static str: keypoint-axis mesh axis (sharded.py)
 ):
     """Inference for a batch of pairs. All arrays padded to buckets.
 
@@ -168,6 +169,18 @@ def forward_match(
                                   min_size)
         else:
             kept1 = valid1
+
+    if shard_axis is not None:
+        # keypoint-axis scale-out (matcher/sharded.py): pin the dense
+        # (B, N, N) adjacency to row shards so the SPMD partitioner never
+        # falls back to replicating it (everything downstream propagates
+        # from these + the row-sharded inputs; the trunk's attention runs
+        # the ring shard_map primitive)
+        from jax.sharding import PartitionSpec as _P
+
+        row_mat = _P(None, shard_axis, None)
+        adj0 = jax.lax.with_sharding_constraint(adj0, row_mat)
+        adj1 = jax.lax.with_sharding_constraint(adj1, row_mat)
 
     h, w = image_shape
     nb0, nb1 = kpts0.shape[1], kpts1.shape[1]

@@ -31,6 +31,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 NEG_INF = -1e9
 
+# Process-level ring context: the mesh/axis that attention_impl="ring"
+# dispatches over. Set by sharded.make_forward_match_sharded (or tests)
+# before tracing; flax module attributes can't carry a Mesh cleanly
+# through every layer, so the trunk reads it here at trace time.
+_RING_CTX = {"mesh": None, "axis": "kp"}
+
+
+def set_ring_mesh(mesh: Mesh, axis: str = "kp") -> None:
+    """Select the mesh/axis used by masked_attention(impl='ring')."""
+    _RING_CTX["mesh"] = mesh
+    _RING_CTX["axis"] = axis
+
+
+def get_ring_mesh():
+    """(mesh, axis) for ring dispatch; raises if none was set."""
+    if _RING_CTX["mesh"] is None:
+        raise ValueError(
+            "attention_impl='ring' needs set_ring_mesh(mesh, axis) first "
+            "(see gims_tpu/matcher/sharded.py)")
+    return _RING_CTX["mesh"], _RING_CTX["axis"]
+
 
 def _ring_attention_local(q, k, v, bias, axis_name: str):
     """Per-shard body (runs under shard_map).

@@ -164,17 +164,17 @@ def test_model(matcher: Matching, val_dataset, val_count: int, agc=None,
 
 def build_batch_e2e(pairs):
     """Fused end-to-end batch: gray uint8 frames + homography only (the
-    fused train step detects/describes in-graph — train/fused_step.py)."""
+    fused train step detects/describes in-graph — train/fused_step.py).
+    One pair per device: a B-pair batch shards over the data mesh."""
     import cv2
 
-    assert len(pairs) == 1, "fused e2e trains per-pair (B=1)"
-    orig, warped, H = pairs[0]
-    g0 = cv2.cvtColor(orig, cv2.COLOR_BGR2GRAY)
-    g1 = cv2.cvtColor(warped, cv2.COLOR_BGR2GRAY)
+    g0 = np.stack([cv2.cvtColor(p[0], cv2.COLOR_BGR2GRAY) for p in pairs])
+    g1 = np.stack([cv2.cvtColor(p[1], cv2.COLOR_BGR2GRAY) for p in pairs])
     return {
-        "img0_u8": jnp.asarray(g0[None]),
-        "img1_u8": jnp.asarray(g1[None]),
-        "homography": jnp.asarray(H.astype(np.float32)[None]),
+        "img0_u8": jnp.asarray(g0),
+        "img1_u8": jnp.asarray(g1),
+        "homography": jnp.asarray(
+            np.stack([p[2] for p in pairs]).astype(np.float32)),
     }
 
 
@@ -261,9 +261,19 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
                     "batch_stats", variables.get("batch_stats", {})),
             }
             if fused_e2e and "gmatcher" not in loaded["params"]:
-                # matcher-only export: keep the engine's CNN variables
+                # matcher-only export: keep the engine's CNN variables —
+                # unless a sibling <name>_car.npz (joint-e2e export pair,
+                # scripts/export_checkpoint.py --e2e) warm-starts the CNN
                 variables["params"]["gmatcher"] = warm["params"]
                 variables["batch_stats"]["gmatcher"] = warm["batch_stats"]
+                car_path = (init_weights[:-4] if init_weights.endswith(
+                    ".npz") else init_weights) + "_car.npz"
+                if os.path.exists(car_path):
+                    car_loaded = ckpt_io.unflatten_npz(car_path)
+                    variables["params"]["carhynet"] = car_loaded["params"]
+                    variables["batch_stats"]["carhynet"] = car_loaded.get(
+                        "batch_stats", variables["batch_stats"]["carhynet"])
+                    log_fn(f"[train] CNN warm start from {car_path}")
             else:
                 variables = warm
             log_fn(f"[train] warm start from {init_weights}")
@@ -275,8 +285,6 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
         from gims_tpu.frontend.detect_device import build_gray_blur
         from gims_tpu.fused import FusedMatching, octave_budgets
 
-        if n_devices > 1:
-            raise NotImplementedError("fused_e2e is single-device for now")
         budgets = octave_budgets(*image_shape, tcfg.max_keypoints,
                                  cfg.frontend.upsample)
         blur_mats = build_gray_blur(*image_shape, cfg.frontend.upsample)
@@ -285,9 +293,31 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
         if freeze_steps:
             log_fn(f"[train] matcher frozen for first {freeze_steps} steps "
                    f"({tcfg.freeze_gmatcher_epochs} epochs)")
-        step_fn = jax.jit(fstep_mod.make_fused_e2e_train_step(
-            cfg, tx, image_shape, budgets, blur_mats, None, dense_model,
-            freeze_steps=freeze_steps))
+        if n_devices > 1:
+            # DP over the pair batch, one pair per device: the same
+            # shard_map/pmean wiring as the classic distributed step
+            # (train/step.py); the whole fused extraction + joint loss
+            # runs per shard, gradients all-reduce over ICI.
+            from jax.sharding import Mesh, PartitionSpec as Pspec
+            from jax import shard_map
+            import functools as _ft
+
+            if tcfg.batch_size != 1:
+                raise ValueError("fused_e2e uses batch_size=1 per device")
+            mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+            inner = fstep_mod.make_fused_e2e_train_step(
+                cfg, tx, image_shape, budgets, blur_mats, None, dense_model,
+                axis_name="data", freeze_steps=freeze_steps)
+            step_fn = jax.jit(_ft.partial(
+                shard_map, mesh=mesh,
+                in_specs=(Pspec(), Pspec("data")),
+                out_specs=(Pspec(), Pspec()),
+                check_vma=False,
+            )(inner))
+        else:
+            step_fn = jax.jit(fstep_mod.make_fused_e2e_train_step(
+                cfg, tx, image_shape, budgets, blur_mats, None, dense_model,
+                freeze_steps=freeze_steps))
         # validation runs the REAL fused inference program with the
         # current weights (bf16 dense maps, like bench/eval)
         fused_eval = FusedMatching({

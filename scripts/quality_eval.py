@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--agc", type=float, nargs=3, default=[15, 2, 7])
     ap.add_argument("--descriptor_source", default="sift",
                     choices=["sift", "carhynet", "dense", "dense_gray"])
+    ap.add_argument("--detector", default="host",
+                    choices=["host", "device"],
+                    help="staged-path keypoint detector: host cv2 SIFT "
+                         "(parity) or the on-TPU DoG detector")
     ap.add_argument("--car_weights", default=None,
                     help="trained descriptor-CNN npz for the fused path "
                          "(the _car.npz sibling of a joint e2e export)")
@@ -38,6 +42,10 @@ def main():
                     help="evaluate the fused single-program pipeline "
                          "(device DoG detection + dense descriptors) — the "
                          "exact configuration bench.py times")
+    ap.add_argument("--upsample", type=int, default=1,
+                    help="fused detection pyramid base: 1 = firstOctave=-1 "
+                         "(2x upsample), 0 = firstOctave=0 (the bench "
+                         "operating point)")
     ap.add_argument("--out_json", default="output/quality_eval.json")
     args = ap.parse_args()
 
@@ -64,6 +72,7 @@ def main():
             "fast_frontend": True,
             "descriptor_source": args.descriptor_source,
             "compact_to": args.compact_to,
+            "upsample": bool(args.upsample),
             **agc,
         }, variables=unflatten_npz(args.weights),
             car_variables=(unflatten_npz(args.car_weights)
@@ -85,6 +94,7 @@ def main():
             "match_threshold": args.match_threshold,
             "max_keypoints": args.max_keypoints,
             "descriptor_source": args.descriptor_source,
+            "detector": args.detector,
         })
 
     regimes = {
@@ -126,12 +136,17 @@ def main():
     # durable (tracked) copy: output/ is gitignored and wiped on env
     # resets, so the judge-visible evidence lives in docs/quality_records/
     tag = "fused" if args.fused else "staged"
+    if args.fused and not args.upsample:
+        tag += "_fo0"
+    if not args.fused and args.detector == "device":
+        tag += "_devdet"
     rec = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "quality_records",
         f"{tag}_{args.descriptor_source}_"
         f"{os.path.splitext(os.path.basename(args.weights))[0]}_"
-        f"r{args.agc[0]:g}p{args.agc[1]:g}m{args.agc[2]:g}.json")
+        f"r{args.agc[0]:g}p{args.agc[1]:g}m{args.agc[2]:g}"
+        f"_n{args.pairs}.json")
     os.makedirs(os.path.dirname(rec), exist_ok=True)
     with open(rec, "w") as f:
         json.dump(payload, f, indent=1)

@@ -434,3 +434,84 @@ def test_fused_e2e_train_step(rng):
     assert moved(state1.params, fs1.params, "carhynet") > 0
     fs2, _ = fstep(fs1, batch)
     assert moved(fs1.params, fs2.params, "gmatcher") > 0
+
+
+def test_fused_e2e_multidevice_step(rng):
+    """8-device fused-e2e DP step (one pair per device): pmean loss ==
+    mean of the per-pair single-device losses, both param subtrees move
+    (VERDICT round-2 item 5: the one training mode that couldn't scale)."""
+    import dataclasses
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as Pspec
+
+    from gims_tpu.carhynet.model import CARHyNet
+    from gims_tpu.config import DatasetConfig, FrontendConfig
+    from gims_tpu.frontend.detect_device import build_gray_blur
+    from gims_tpu.fused import octave_budgets
+    from gims_tpu.train import fused_step as fstep_mod
+    from gims_tpu.train.data import SyntheticPairDataset
+    from gims_tpu.train.loop import build_batch_e2e
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    n_dev = 4  # 4-way mesh keeps the CPU-sim compile budget sane
+    h, w = 96, 128
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        matcher=dataclasses.replace(
+            cfg.matcher, descriptor_dim=256, input_dim=256, remat=True,
+            use_layernorm=True,  # BN batch stats are per-device by design
+        ),
+        frontend=FrontendConfig(descriptor_source="dense_gray"),
+        agc=AGCConfig(radius=40.0, percentile=5.0, min_size=2),
+    )
+    ds = SyntheticPairDataset(
+        DatasetConfig(image_height=h, image_width=w,
+                      apply_color_aug=False), length=n_dev, seed=0)
+    batch8 = build_batch_e2e([ds[i] for i in range(n_dev)])
+
+    car_model = CARHyNet(in_channels=1)
+    car_vars = car_model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 1), jnp.float32))
+    variables = fstep_mod.joint_variables(
+        cfg, init_gmatcher_variables(cfg.matcher), car_vars)
+    budgets = octave_budgets(h, w, 384)
+    blur = build_gray_blur(h, w)
+    dense_model = CARHyNet(dense=True, in_channels=1)
+
+    # single-device per-pair losses
+    state_a, tx_a = step_mod.create_train_state(cfg, variables, 10)
+    single = jax.jit(fstep_mod.make_fused_e2e_train_step(
+        cfg, tx_a, (h, w), budgets, blur, None, dense_model))
+    losses = []
+    for i in range(n_dev):
+        one = {k: v[i:i + 1] for k, v in batch8.items()}
+        _, m = single(state_a, one)
+        losses.append(float(m["total_loss"]))
+
+    # n_dev-device shard_map step on the same pairs
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    state_b, tx_b = step_mod.create_train_state(cfg, variables, 10)
+    inner = fstep_mod.make_fused_e2e_train_step(
+        cfg, tx_b, (h, w), budgets, blur, None, dense_model,
+        axis_name="data")
+    import functools
+    dist = jax.jit(functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(Pspec(), Pspec("data")),
+        out_specs=(Pspec(), Pspec()),
+        check_vma=False,
+    )(inner))
+    sb, mb = dist(state_b, batch8)
+
+    np.testing.assert_allclose(
+        float(mb["total_loss"]), np.mean(losses), rtol=5e-4)
+    # params must move in BOTH subtrees after a post-warmup step
+    sb2, _ = dist(sb, batch8)
+    for sub in ("gmatcher", "carhynet"):
+        delta = max(
+            np.abs(np.asarray(a) - np.asarray(b)).max()
+            for a, b in zip(jax.tree_util.tree_leaves(sb.params[sub]),
+                            jax.tree_util.tree_leaves(sb2.params[sub])))
+        assert delta > 0, sub
