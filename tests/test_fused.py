@@ -100,3 +100,47 @@ def test_fused_compact_to_contract():
     sel = m0 > -1
     assert np.all(pred["matches1"][0][m0[sel]] == np.nonzero(sel)[0])
     assert np.isfinite(pred["matching_scores0"]).all()
+
+
+def test_fused_no_upsample_fo0():
+    """firstOctave=0 operating point (upsample=False, the bench default on
+    TPU): keypoint coordinates stay in input-image space, matches form on
+    a rotated pair, and the homography is roughly satisfied by the
+    mutual-consistency contract."""
+    img0, img1, H = _pair(h=120, w=160)
+    g0 = cv2.cvtColor(img0, cv2.COLOR_BGR2GRAY)
+    g1 = cv2.cvtColor(img1, cv2.COLOR_BGR2GRAY)
+    m = FusedMatching({
+        "descriptor_source": "dense_gray",
+        "upsample": False,
+        "init_scheme": "identity",
+    }, total_keypoints=256)
+    pred = m(g0, g1)
+    n0 = pred["keypoints0"].shape[1]
+    assert n0 > 20
+    kp = pred["keypoints0"][0]
+    assert kp[:, 0].max() <= 160 and kp[:, 1].max() <= 120
+    assert kp.min() >= 0
+    m0 = pred["matches0"][0]
+    sel = m0 > -1
+    assert np.all(pred["matches1"][0][m0[sel]] == np.nonzero(sel)[0])
+    # one octave fewer than the upsampled pyramid
+    assert len(octave_budgets(120, 160, 256, upsample=False)) == \
+        len(octave_budgets(120, 160, 256, upsample=True)) - 1
+
+
+def test_fused_dense_layers_single_map():
+    """dense_layers=(2,) runs the descriptor CNN once per octave; all
+    keypoint layers sample that map — output contract unchanged."""
+    img0, img1, _ = _pair(h=120, w=160)
+    g0 = cv2.cvtColor(img0, cv2.COLOR_BGR2GRAY)
+    g1 = cv2.cvtColor(img1, cv2.COLOR_BGR2GRAY)
+    m = FusedMatching({
+        "descriptor_source": "dense_gray",
+        "upsample": False,
+        "dense_layers": (2,),
+        "init_scheme": "identity",
+    }, total_keypoints=256)
+    pred = m(g0, g1)
+    assert pred["keypoints0"].shape[1] > 20
+    assert np.isfinite(pred["matching_scores0"]).all()
