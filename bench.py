@@ -227,8 +227,10 @@ def run_fused(pairs):
     extra = {"mode": "fused", "batch": batch}
 
     # secondary figure: the real-photo regime (photographic SIFT keypoint
-    # statistics; same compiled program, so warmup is just pipelining)
-    photo_pairs = make_photo_pairs(8 if batch == 1 else 3 * batch)
+    # statistics; same compiled program, so warmup is just pipelining).
+    # GIMS_BENCH_PHOTOS=0 skips it — knob sweeps only need the headline.
+    photo_pairs = (make_photo_pairs(8 if batch == 1 else 3 * batch)
+                   if os.environ.get("GIMS_BENCH_PHOTOS", "1") != "0" else [])
     if photo_pairs:
         pn, pel, pm = _time_fused(matcher, photo_pairs, gray, n_warmup=1,
                                   batch=batch)

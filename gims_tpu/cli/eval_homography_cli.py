@@ -9,6 +9,8 @@ import os
 
 
 def main(argv=None, dgims=False):
+    from gims_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--input_homography", type=str,
                         default="./assets/coco_test_images_homo.txt")

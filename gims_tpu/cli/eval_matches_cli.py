@@ -6,6 +6,8 @@ import argparse
 
 
 def main(argv=None):
+    from gims_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--image0", type=str, required=True)
     parser.add_argument("--image1", type=str, required=True,

@@ -10,6 +10,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from gims_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("image0")
     parser.add_argument("image1")

@@ -149,6 +149,8 @@ def serve(port=7860, weights_path=None, fused=False, total_keypoints=12288):
 
 
 def main(argv=None):
+    from gims_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--weights_path", type=str, default=None)

@@ -24,6 +24,8 @@ def increment_path(path, exist_ok=True, sep=""):
 
 
 def main(argv=None):
+    from gims_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     # long-running entry point: make hangs debuggable (SIGUSR2 dumps all
     # Python stacks to stderr without killing the process)
     import faulthandler
