@@ -84,7 +84,16 @@ def main():
             knobs are fixed at fused construction (static program)."""
 
             def __call__(self, data):
-                return fused(data["image0"][0], data["image1"][0])
+                img0 = data["image0"][0]
+                img1 = data["image1"][0]
+                if args.descriptor_source == "dense_gray" and img0.ndim == 3:
+                    # host gray conversion: 3x less host->device traffic
+                    # (the device-side conversion is numerically identical)
+                    import cv2
+
+                    img0 = cv2.cvtColor(img0, cv2.COLOR_BGR2GRAY)
+                    img1 = cv2.cvtColor(img1, cv2.COLOR_BGR2GRAY)
+                return fused(img0, img1)
 
         matcher = _FusedAsMatching()
     else:
