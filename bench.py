@@ -199,9 +199,20 @@ def run_fused(pairs):
     upsample = os.environ.get("GIMS_BENCH_UPSAMPLE", "0") == "1"
     if source != "dense_gray":
         upsample = True  # color paths assume the upsampled geometry
+    # Knob set: "ref" = the reference's published eval knobs
+    # (eval_homography.py:113-124: AGC 15/2/7, 20 Sinkhorn iterations,
+    # threshold 0.02); "tuned" = the recorded tuned operating point
+    # (AGC 25/7/8, 100 iterations, threshold 0.2) whose 199-pair quality
+    # beats the reference on every metric (docs/quality_records/). The
+    # extra Sinkhorn iterations run on the compacted bucket, so the cost
+    # difference is small; both are recorded.
+    knobs = os.environ.get("GIMS_BENCH_KNOBS", "ref")
+    agc = ({"radius": 25, "percentile": 7, "min_size": 8}
+           if knobs == "tuned" else
+           {"radius": 15, "percentile": 2, "min_size": 7})
     matcher = FusedMatching({
-        "sinkhorn_iterations": 20,
-        "match_threshold": 0.02,
+        "sinkhorn_iterations": 100 if knobs == "tuned" else 20,
+        "match_threshold": 0.2 if knobs == "tuned" else 0.02,
         "attention_dtype": "bfloat16",
         "use_pallas_sinkhorn": True,
         "fast_frontend": True,
@@ -210,11 +221,13 @@ def run_fused(pairs):
         "upsample": upsample,
         "topk_impl": os.environ.get("GIMS_BENCH_TOPK", "approx"),
         "threshold_impl": os.environ.get("GIMS_BENCH_THRESH", "approx"),
-        "radius": 15, "percentile": 2, "min_size": 7,
+        "dense_first_map_oct": int(os.environ.get("GIMS_BENCH_FMO", "0")),
+        **agc,
         **({"compact_to": int(os.environ["GIMS_BENCH_COMPACT"])}
            if "GIMS_BENCH_COMPACT" in os.environ else {}),
     }, variables=variables, car_variables=car_variables,
         total_keypoints=int(os.environ.get("GIMS_BENCH_KPTS", "6144")))
+    extra_knobs = {"knob_set": knobs}
 
     # single-channel frames for dense_gray: 3x less tunnel traffic, and
     # the device gray conversion is skipped (same BGR weights as cv2)
@@ -224,7 +237,7 @@ def run_fused(pairs):
         # 2 warmup batches + 4 timed batches
         pairs = make_images(6 * batch)
     n, elapsed, total_matches = _time_fused(matcher, pairs, gray, batch=batch)
-    extra = {"mode": "fused", "batch": batch}
+    extra = {"mode": "fused", "batch": batch, **extra_knobs}
 
     # secondary figure: the real-photo regime (photographic SIFT keypoint
     # statistics; same compiled program, so warmup is just pipelining).

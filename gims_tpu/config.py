@@ -151,6 +151,15 @@ class FrontendConfig:
     # octave (~3x less conv work) and absorbs the <=26% within-octave
     # scale mismatch in training.
     dense_layers: Tuple[int, ...] = (1, 2, 3)
+    # First octave that gets dense descriptor maps in the no-upsample
+    # (firstOctave=0) dense_gray path. 0 = every octave (octave 0 runs
+    # the descriptor CNN at full input resolution — ~3/4 of the dense
+    # conv FLOPs and the largest HBM temp in the fused program). 1 =
+    # octave-0 keypoints sample octave 1's maps at halved coordinates —
+    # the same map-sharing the 2x-upsampled geometry always applies to
+    # its base octave. Requires weights trained at this geometry.
+    # Ignored when upsample=True (base octave is always map-shared).
+    dense_first_map_oct: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -302,6 +311,8 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         upsample=fp.get("upsample", cfg.frontend.upsample),
         dense_layers=tuple(fp.get("dense_layers",
                                   cfg.frontend.dense_layers)),
+        dense_first_map_oct=fp.get("dense_first_map_oct",
+                                   cfg.frontend.dense_first_map_oct),
     )
     optimizer = _update(
         cfg.optimizer,

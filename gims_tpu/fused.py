@@ -182,8 +182,14 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
         # with the 2x-upsampled base, octave 0 (4x input area, ~3/4 of
         # the dense conv FLOPs) is skipped: its keypoints sample octave
         # 1's maps at halved coordinates. Without upsampling, octave 0
-        # IS input resolution and gets maps directly.
-        first_map_oct = 1 if (fe.upsample and len(octs_gray) > 1) else 0
+        # IS input resolution and gets maps directly by default;
+        # fe.dense_first_map_oct=1 applies the same map-sharing there
+        # (4x less conv work + the biggest HBM temp gone — needs weights
+        # trained at this geometry).
+        if fe.upsample:
+            first_map_oct = 1 if len(octs_gray) > 1 else 0
+        else:
+            first_map_oct = min(fe.dense_first_map_oct, len(octs_gray) - 1)
         gray_maps = {}
         for o in range(first_map_oct, len(octs_gray)):
             if min(int(octs_gray[o].shape[1]), int(octs_gray[o].shape[2])) < 16:
@@ -438,6 +444,7 @@ class FusedMatching:
             topk_impl=config.get("topk_impl", "approx" if on_tpu else "exact"),
             upsample=bool(config.get("upsample", True)),
             dense_layers=tuple(config.get("dense_layers", (1, 2, 3))),
+            dense_first_map_oct=int(config.get("dense_first_map_oct", 0)),
         )
         if not self.fe.upsample and self.fe.descriptor_source != "dense_gray":
             raise ValueError("upsample=False requires descriptor_source="

@@ -328,6 +328,7 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
             "descriptor_source": "dense_gray",
             "upsample": cfg.frontend.upsample,
             "dense_layers": cfg.frontend.dense_layers,
+            "dense_first_map_oct": cfg.frontend.dense_first_map_oct,
             "radius": cfg.agc.radius, "percentile": cfg.agc.percentile,
             "min_size": cfg.agc.min_size,
         }, variables=init_gmatcher_variables(cfg.matcher),

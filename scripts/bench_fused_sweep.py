@@ -40,13 +40,16 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="batch {1,4} x compact {None,8192} only")
     ap.add_argument("--batches", type=int, nargs="*", default=None)
+    ap.add_argument("--compacts", type=int, nargs="*", default=None)
+    ap.add_argument("--knobs", default=None, choices=["ref", "tuned"],
+                    help="bench knob set (GIMS_BENCH_KNOBS)")
     args = ap.parse_args()
 
     # budget stays 6144: the e2e weights are trained at that exact
     # detection geometry, so only dispatch batch and trunk compaction are
     # free knobs (both quality-checked after the winner is picked).
     batches = args.batches or ([1, 4] if args.quick else [8, 12, 16])
-    compacts = [None, 8192] if args.quick else [3072, 4096]
+    compacts = args.compacts or ([None, 8192] if args.quick else [3072, 4096])
 
     results = []
     for b in batches:
@@ -55,6 +58,7 @@ def main():
                 "GIMS_BENCH_BATCH": b,
                 "GIMS_BENCH_COMPACT": c,
                 "GIMS_BENCH_PHOTOS": 0,
+                "GIMS_BENCH_KNOBS": args.knobs,
             }))
 
     ok = [r for r in results if r.get("value")]

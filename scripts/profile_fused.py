@@ -43,7 +43,7 @@ def main():
     import bench
 
     batch = int(os.environ.get("GIMS_BENCH_BATCH", "8"))
-    pairs = bench.make_images(2 * batch)
+    pairs = bench.make_images(5 * batch)
     import cv2
 
     gray = [(cv2.cvtColor(a, cv2.COLOR_BGR2GRAY),
@@ -73,6 +73,7 @@ def main():
         "upsample": os.environ.get("GIMS_BENCH_UPSAMPLE", "0") == "1",
         "topk_impl": os.environ.get("GIMS_BENCH_TOPK", "approx"),
         "threshold_impl": os.environ.get("GIMS_BENCH_THRESH", "approx"),
+        "dense_first_map_oct": int(os.environ.get("GIMS_BENCH_FMO", "0")),
         "radius": 15, "percentile": 2, "min_size": 7,
         **({"compact_to": int(os.environ["GIMS_BENCH_COMPACT"])}
            if "GIMS_BENCH_COMPACT" in os.environ else {}),

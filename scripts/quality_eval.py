@@ -42,6 +42,9 @@ def main():
                     help="evaluate the fused single-program pipeline "
                          "(device DoG detection + dense descriptors) — the "
                          "exact configuration bench.py times")
+    ap.add_argument("--dense_first_map_oct", type=int, default=0,
+                    help="fused dense_gray: first octave with dense maps "
+                         "(1 = octave-0 keypoints sample octave-1 maps)")
     ap.add_argument("--upsample", type=int, default=1,
                     help="fused detection pyramid base: 1 = firstOctave=-1 "
                          "(2x upsample), 0 = firstOctave=0 (the bench "
@@ -73,6 +76,7 @@ def main():
             "descriptor_source": args.descriptor_source,
             "compact_to": args.compact_to,
             "upsample": bool(args.upsample),
+            "dense_first_map_oct": args.dense_first_map_oct,
             **agc,
         }, variables=unflatten_npz(args.weights),
             car_variables=(unflatten_npz(args.car_weights)
