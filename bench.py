@@ -222,6 +222,14 @@ def run_fused(pairs):
         "topk_impl": os.environ.get("GIMS_BENCH_TOPK", "approx"),
         "threshold_impl": os.environ.get("GIMS_BENCH_THRESH", "approx"),
         "dense_first_map_oct": int(os.environ.get("GIMS_BENCH_FMO", "0")),
+        **({"cc_impl": os.environ["GIMS_BENCH_CC"]}
+           if "GIMS_BENCH_CC" in os.environ else {}),
+        **({"agc_impl": os.environ["GIMS_BENCH_AGC"]}
+           if "GIMS_BENCH_AGC" in os.environ else {}),
+        **({"band_halfwidth": int(os.environ["GIMS_BENCH_BANDW"])}
+           if "GIMS_BENCH_BANDW" in os.environ else {}),
+        **({"reconnect_impl": os.environ["GIMS_BENCH_RECONNECT"]}
+           if "GIMS_BENCH_RECONNECT" in os.environ else {}),
         **agc,
         **({"compact_to": int(os.environ["GIMS_BENCH_COMPACT"])}
            if "GIMS_BENCH_COMPACT" in os.environ else {}),

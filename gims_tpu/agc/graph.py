@@ -164,6 +164,86 @@ def connected_components(adj: jnp.ndarray, valid: jnp.ndarray,
     return label
 
 
+def neighbor_list(d2: jnp.ndarray, adj: jnp.ndarray, pair_valid_od: jnp.ndarray,
+                  degree_cap: int):
+    """One top_k pass -> fixed-degree neighbor list + spatial NN per node.
+
+    The AGC graph is radius-bounded and percentile-gated, so degrees are
+    tiny (mean ~5, max ~23 at the 6144-keypoint eval operating point —
+    scripts/bench_agc_stages.py). Keying the top_k by
+    ``d2 + OFF * (1 - adj)`` ranks every TRUE neighbor before every
+    non-neighbor (edges require d2 <= radius^2 << OFF), so:
+
+      * entries with key < OFF are the (up to degree_cap) nearest true
+        neighbors -> the sparse CC edge list;
+      * entry 0 is always the nearest valid node overall -> the isolated-
+        node fix target, replacing a full (N, N) argmin pass.
+
+    OFF = 1e7 keeps f32 quantization of non-neighbor keys at 1 px^2, so
+    the spatial-NN tie-break can differ from the exact argmin only for
+    candidates within 1 px^2 of each other.
+
+    Returns (nbr_idx (N, D) int32, nbr_ok (N, D) bool, top_key (N, D) f32).
+    """
+    n = d2.shape[0]
+    dcap = min(int(degree_cap), n)
+    OFF = np.float32(1.0e7)
+    key = jnp.where(adj, d2, d2 + OFF)
+    key = jnp.where(pair_valid_od, key, BIG)
+    neg_top, nbr_idx = jax.lax.top_k(-key, dcap)
+    top_key = -neg_top
+    nbr_ok = top_key < OFF
+    return nbr_idx.astype(jnp.int32), nbr_ok, top_key
+
+
+def connected_components_sparse(nbr_idx: jnp.ndarray, nbr_ok: jnp.ndarray,
+                                valid: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    """Min-label propagation over a fixed-degree neighbor list.
+
+    Same result contract as :func:`connected_components` (labels = min node
+    id per component; invalid nodes get sentinel N) but each round costs
+    O(N * D) instead of O(N^2): a gather over my out-neighbors, a
+    segment_min push TO my out-neighbors (so an edge kept by either
+    endpoint propagates both ways — the list need not be symmetric), and
+    3 pointer jumps. Exact whenever every node's true degree <= D (the
+    push direction covers edges the overflowing endpoint dropped as long
+    as the other endpoint kept them).
+    """
+    n, dcap = nbr_idx.shape
+    sentinel = jnp.int32(n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    label0 = jnp.where(valid, idx, sentinel)
+    safe_nbr = jnp.minimum(nbr_idx, n - 1)
+    push_tgt = jnp.where(nbr_ok, nbr_idx, jnp.int32(n)).ravel()
+
+    def one_round(label):
+        pulled = jnp.min(jnp.where(nbr_ok, label[safe_nbr], sentinel), axis=1)
+        label = jnp.minimum(label, jnp.where(valid, pulled, sentinel))
+        src = jnp.broadcast_to(label[:, None], (n, dcap)).ravel()
+        pushed = jax.ops.segment_min(src, push_tgt, num_segments=n + 1)[:n]
+        pushed = jnp.minimum(pushed, sentinel)  # empty segments = int32 max
+        label = jnp.minimum(label, jnp.where(valid, pushed, sentinel))
+        for _ in range(3):
+            safe = jnp.minimum(label, n - 1)
+            jumped = jnp.where(label < n, label[safe], sentinel)
+            label = jnp.minimum(label, jumped)
+        return label
+
+    def cond(state):
+        i, _, changed = state
+        return changed & (i < rounds)
+
+    def body(state):
+        i, label, _ = state
+        new = one_round(label)
+        return i + 1, new, jnp.any(new != label)
+
+    _, label, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), one_round(label0), jnp.bool_(True))
+    )
+    return label
+
+
 def _first_min_index(values: jnp.ndarray, mask: jnp.ndarray,
                      axis: int = -1) -> jnp.ndarray:
     """(min, first-argmin) over a masked axis; sentinel = axis length."""
@@ -189,6 +269,10 @@ def build_graph(
     k=None,
     threshold_impl: str = "exact",
     threshold_stride: int = 4,
+    cc_impl: str = "dense",
+    cc_degree: int = 32,
+    reconnect_impl: str = "exact",
+    reconnect_buckets: int = 4096,
 ) -> AGCGraph:
     """Full AGC for one padded keypoint set.
 
@@ -247,46 +331,279 @@ def build_graph(
     within = d2 <= radius * radius
     adj = pair_valid & off_diag & within & (sim >= threshold)
 
-    # --- connect isolated nodes to the nearest spatial neighbor ---
-    degree = jnp.sum(adj, axis=1)
-    has_any_edge = jnp.any(adj)  # reference skips the fix on edgeless graphs
-    isolated = valid & (degree == 0) & has_any_edge
-    _, nn_idx = _first_min_index(d2, pair_valid & off_diag, axis=1)
-    nn_idx = jnp.minimum(nn_idx, n - 1)
-    fix = jnp.zeros_like(adj).at[idx, nn_idx].max(isolated)
-    adj = adj | fix | fix.T
+    if cc_impl == "sparse":
+        # --- sparse back half: one top_k pass replaces the dense degree,
+        # NN-argmin, and per-round O(N^2) label-propagation traffic ---
+        nbr_idx, nbr_ok, top_key = neighbor_list(
+            d2, adj, pair_valid & off_diag, cc_degree)
+        degree_capped = jnp.sum(nbr_ok.astype(jnp.int32), axis=1)
+        has_any_edge = jnp.any(nbr_ok)
+        nn_exists = top_key[:, 0] < BIG
+        isolated = valid & (degree_capped == 0) & has_any_edge & nn_exists
+        nn_idx = jnp.minimum(nbr_idx[:, 0], n - 1)
+        # the fix edge rides the sparse structure: entry 0 of an isolated
+        # node IS its nearest spatial neighbor (push covers the reverse)
+        nbr_ok_cc = nbr_ok.at[:, 0].max(isolated)
+        labels = connected_components_sparse(nbr_idx, nbr_ok_cc, valid,
+                                             cc_rounds)
+        safe_labels = jnp.minimum(labels, n - 1)
+        sizes = jax.ops.segment_sum(valid.astype(jnp.int32), safe_labels,
+                                    num_segments=n)
+        kept = valid & (sizes[safe_labels] >= jnp.asarray(min_size,
+                                                          jnp.int32))
+        # ONE dense assembly pass: fix edges in, pruned nodes' edges out
+        fix_full = (isolated[:, None] & (idx[None, :] == nn_idx[:, None])) | (
+            isolated[None, :] & (idx[:, None] == nn_idx[None, :]))
+        adj = (adj | fix_full) & kept[:, None] & kept[None, :]
+    else:
+        # --- connect isolated nodes to the nearest spatial neighbor ---
+        degree = jnp.sum(adj, axis=1)
+        has_any_edge = jnp.any(adj)  # reference skips the fix on edgeless graphs
+        isolated = valid & (degree == 0) & has_any_edge
+        _, nn_idx = _first_min_index(d2, pair_valid & off_diag, axis=1)
+        nn_idx = jnp.minimum(nn_idx, n - 1)
+        fix = jnp.zeros_like(adj).at[idx, nn_idx].max(isolated)
+        adj = adj | fix | fix.T
 
-    # --- connected components + small-component pruning ---
-    labels = connected_components(adj, valid, cc_rounds)
-    safe_labels = jnp.minimum(labels, n - 1)
-    sizes = jax.ops.segment_sum(valid.astype(jnp.int32), safe_labels,
-                                num_segments=n)
-    kept = valid & (sizes[safe_labels] >= jnp.asarray(min_size, jnp.int32))
+        # --- connected components + small-component pruning ---
+        labels = connected_components(adj, valid, cc_rounds)
+        safe_labels = jnp.minimum(labels, n - 1)
+        sizes = jax.ops.segment_sum(valid.astype(jnp.int32), safe_labels,
+                                    num_segments=n)
+        kept = valid & (sizes[safe_labels] >= jnp.asarray(min_size,
+                                                          jnp.int32))
 
-    # --- drop edges touching removed nodes, then reconnect survivors ---
-    adj = adj & kept[:, None] & kept[None, :]
-    adj = _reconnect_components(adj, kpts, d2, labels, kept)
+        # --- drop edges touching removed nodes ---
+        adj = adj & kept[:, None] & kept[None, :]
+
+    # --- reconnect surviving components ---
+    if reconnect_impl == "centroid":
+        adj = _reconnect_components_centroid(adj, kpts, labels, kept,
+                                             buckets=reconnect_buckets)
+    else:
+        adj = _reconnect_components(adj, kpts, d2, labels, kept,
+                                    buckets=reconnect_buckets)
     return AGCGraph(adj=adj, kept=kept, labels=labels, threshold=threshold)
 
 
-def _reconnect_components(adj, kpts, d2, labels, kept):
-    """Reference: agc.py:518-565 `fast_connect_components`.
+def _diag_band(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Extract per-row diagonal bands from block matrices, gather-free.
 
-    Single pass: each surviving component links to its nearest component by
-    centroid distance through the closest node pair. A link (i, j) is
-    skipped when (j, i) was already made earlier in the pass; enumeration
-    order is ascending component label (= ascending min node id, matching
-    networkx's connected_components order for nodes inserted 0..N-1).
+    blocks: (nb, BR, C) where block b row r holds values f(i, j) for
+    i = b*BR + r and j spanning a window starting at column 0 = j0(b) such
+    that the wanted offsets sit at local column r + m. Returns
+    (nb*BR, Wh = C - BR) with out[i, m] = blocks[b, r, r + m].
 
-    Labels are rank-compacted to C = min(n, 4096) dense component ids so
-    the per-component tables are (C+1, N) instead of (n+1, N) — several
+    Pure reshape/pad: element (r, r+m) of a flattened (BR, C) block lives
+    at r*(C+1) + m, so viewing the (padded) flat buffer as (BR, C+1) rows
+    puts every diagonal band in the leading Wh columns.
+    """
+    nb, br, c = blocks.shape
+    wh = c - br
+    flat = blocks.reshape(nb, br * c)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((nb, br), flat.dtype)], axis=1)
+    return flat.reshape(nb, br, c + 1)[:, :, :wh].reshape(nb * br, wh)
+
+
+def _band_to_dense(band: jnp.ndarray) -> jnp.ndarray:
+    """(N, Wh) band with band[i, m] = edge(i, i+1+m) -> dense (N, N) bool.
+
+    Inverse of the diagonal trick: dense flat position of (i, j=i+1+m) is
+    i*N + i + 1 + m = [i*(N+1) + m] + 1, so padding rows to N+1, flattening
+    and shifting by one lands every band entry in place. Entries must
+    already be False for j >= N (they would alias into the next row).
+    """
+    n, wh = band.shape
+    padded = jnp.pad(band, ((0, 0), (0, n + 1 - wh))).reshape(-1)
+    shifted = jnp.concatenate(
+        [jnp.zeros((1,), band.dtype), padded])
+    return shifted[: n * n].reshape(n, n)
+
+
+def build_graph_band(
+    kpts: jnp.ndarray,
+    descs: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float,
+    percentile: float,
+    min_size: int,
+    cc_rounds: int = 20,
+    threshold_stride: int = 4,
+    band_halfwidth: int = 512,
+    reconnect_impl: str = "centroid",
+    reconnect_buckets: int = 1024,
+) -> AGCGraph:
+    """Band-limited AGC: same contract as :func:`build_graph`, O(N*W) build.
+
+    The AGC candidate graph is radius-bounded (reference: agc.py:436
+    cKDTree.query_pairs(r=radius)), so after sorting keypoints by x every
+    candidate pair sits within a narrow window of sorted indices. All
+    O(N^2) f32 materializations (d2, sim) shrink to (N, Wh) bands built
+    from MXU block matmuls + reshape tricks (no gathers); only the bool
+    adjacency is ever densified (for CC / reconnection / the downstream
+    SAGE matmuls). ~6x less HBM traffic than the dense build at the eval
+    shape (N=6144, Wh=512).
+
+    Exact vs :func:`build_graph` whenever (a) every radius-pair is within
+    `band_halfwidth` sorted positions (guaranteed when band_halfwidth >=
+    N-1) and (b) the same strided threshold subsample is used (the
+    subsample is taken in sorted order, so thresholds differ slightly from
+    the unsorted dense-approx ones at stride > 1). The percentile is
+    always the strided approximation — reference-exact ranks need the full
+    (N, N) similarity set this variant exists to avoid.
+    """
+    n_in = kpts.shape[0]
+    BR = 128
+    n = ((n_in + BR - 1) // BR) * BR
+    if n > n_in:
+        kpts = jnp.pad(kpts, ((0, n - n_in), (0, 0)),
+                       constant_values=2.0e9)
+        descs = jnp.pad(descs, ((0, n - n_in), (0, 0)))
+        valid = jnp.pad(valid, (0, n - n_in))
+    wh = min(int(band_halfwidth), n)
+    wh = ((wh + BR - 1) // BR) * BR
+
+    # --- sort by x (padding/invalid rows sort last; ordering is stable) ---
+    sort_key = jnp.where(valid, kpts[:, 0], BIG)
+    perm = jnp.argsort(sort_key, stable=True)
+    inv = jnp.argsort(perm, stable=True)
+    kp = kpts[perm]
+    va = valid[perm]
+    normed = descs[perm]
+    normed = normed / jnp.maximum(
+        jnp.linalg.norm(normed, axis=1, keepdims=True), 1e-12)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    # --- percentile threshold over a strided row subsample (the dense
+    # path's threshold_impl="approx", computed directly as a (N/s, N)
+    # matmul instead of slicing a full (N, N) sim matrix) ---
+    s = max(int(threshold_stride), 1)
+    sub_sim = jnp.matmul(normed[::s], normed.T,
+                         precision=jax.lax.Precision.HIGH)
+    rows = idx[::s]
+    sub_mask = va[::s, None] & va[None, :] & (rows[:, None] < idx[None, :])
+    cnt_sub = jnp.sum(sub_mask.astype(jnp.int32))
+    k_sub = jnp.floor(
+        cnt_sub.astype(jnp.float32) * jnp.float32(percentile / 100.0)
+    ).astype(jnp.int32)
+    k_sub = jnp.clip(k_sub, 0, jnp.maximum(cnt_sub - 1, 0))
+    threshold = kth_smallest_masked(sub_sim, sub_mask, k_sub,
+                                    lo=-1.001, hi=1.001)
+
+    # --- banded d2 / sim over forward offsets j = i+1+m, m in [0, wh) ---
+    nb = n // BR
+    c = BR + wh
+    # forward column windows: block b covers j in [b*BR + 1, b*BR + c]
+    col_idx = (jnp.arange(nb, dtype=jnp.int32) * BR + 1)[:, None] \
+        + jnp.arange(c, dtype=jnp.int32)[None, :]
+    kp_pad = jnp.pad(kp, ((0, wh + 1), (0, 0)), constant_values=2.0e9)
+    va_pad = jnp.pad(va, (0, wh + 1))
+    nm_pad = jnp.pad(normed, ((0, wh + 1), (0, 0)))
+
+    kr = kp.reshape(nb, BR, 2)
+    nr = normed.reshape(nb, BR, -1)
+    kc = kp_pad[col_idx]            # (nb, c, 2)
+    vc = va_pad[col_idx]            # (nb, c)
+    nc_ = nm_pad[col_idx]           # (nb, c, D)
+
+    sim_blocks = jnp.einsum("brd,bcd->brc", nr, nc_,
+                            precision=jax.lax.Precision.HIGH)
+    diff = kr[:, :, None, :] - kc[:, None, :, :]
+    d2_blocks = jnp.sum(diff * diff, axis=-1)          # (nb, BR, c)
+    v_blocks = jnp.broadcast_to(vc[:, None, :], (nb, BR, c))
+
+    sim_b = _diag_band(sim_blocks)                     # (n, wh)
+    d2_b = _diag_band(d2_blocks)
+    ok_b = _diag_band(v_blocks)
+
+    radius = jnp.asarray(radius, jnp.float32)
+    j_fwd = idx[:, None] + 1 + jnp.arange(wh, dtype=jnp.int32)[None, :]
+    band = (ok_b & va[:, None] & (j_fwd < n)
+            & (d2_b <= radius * radius) & (sim_b >= threshold))
+
+    adj_half = _band_to_dense(band)
+    adj = adj_half | adj_half.T
+
+    # --- isolated-node fix: nearest spatial neighbor from the fwd + bwd
+    # distance bands (exact when the true NN is within the window, which
+    # band_halfwidth >= N-1 guarantees; at eval densities the spatial NN
+    # is essentially always a few sorted positions away) ---
+    degree = jnp.sum(adj, axis=1)
+    has_any_edge = jnp.any(band)
+    isolated = va & (degree == 0) & has_any_edge
+
+    # backward windows: block b covers j in [b*BR - wh, b*BR + BR)
+    col_idx2 = (jnp.arange(nb, dtype=jnp.int32) * BR)[:, None] \
+        + jnp.arange(c, dtype=jnp.int32)[None, :]
+    kp_pad2 = jnp.concatenate(
+        [jnp.full((wh, 2), 2.0e9, kp.dtype), kp], axis=0)
+    va_pad2 = jnp.concatenate([jnp.zeros(wh, bool), va])
+    kc2 = kp_pad2[col_idx2]
+    vc2 = va_pad2[col_idx2]
+    diff2 = kr[:, :, None, :] - kc2[:, None, :, :]
+    d2b2 = jnp.sum(diff2 * diff2, axis=-1)
+    v2 = jnp.broadcast_to(vc2[:, None, :], (nb, BR, c))
+    d2_bwd = _diag_band(d2b2)[:, ::-1]                 # (n, wh): j = i-1-m
+    ok_bwd = _diag_band(v2)[:, ::-1]
+    j_bwd = idx[:, None] - 1 - jnp.arange(wh, dtype=jnp.int32)[None, :]
+
+    cand_d2 = jnp.concatenate(
+        [jnp.where(ok_bwd & (j_bwd >= 0), d2_bwd, BIG),
+         jnp.where(ok_b & (j_fwd < n), d2_b, BIG)], axis=1)
+    cand_j = jnp.concatenate([j_bwd, j_fwd], axis=1)
+    nn_d2 = jnp.min(cand_d2, axis=1)
+    # smallest j among ties (dense parity: _first_min_index picks first j)
+    nn_idx = jnp.min(
+        jnp.where(cand_d2 == nn_d2[:, None], cand_j, n), axis=1)
+    nn_ok = isolated & (nn_d2 < BIG) & (nn_idx < n)
+    nn_safe = jnp.clip(nn_idx, 0, n - 1)
+    fix = jnp.zeros_like(adj).at[idx, nn_safe].max(nn_ok)
+    adj = adj | fix | fix.T
+
+    # --- connected components + pruning + reconnection (dense bool ops,
+    # shared with build_graph) ---
+    labels = connected_components(adj, va, cc_rounds)
+    safe_labels = jnp.minimum(labels, n - 1)
+    sizes = jax.ops.segment_sum(va.astype(jnp.int32), safe_labels,
+                                num_segments=n)
+    kept = va & (sizes[safe_labels] >= jnp.asarray(min_size, jnp.int32))
+    adj = adj & kept[:, None] & kept[None, :]
+
+    if reconnect_impl == "centroid":
+        adj = _reconnect_components_centroid(adj, kp, labels, kept,
+                                             buckets=reconnect_buckets)
+    else:
+        d2_full = pairwise_sq_dists(kp)
+        adj = _reconnect_components(adj, kp, d2_full, labels, kept,
+                                    buckets=reconnect_buckets)
+
+    # --- back to the caller's keypoint order (and original padding) ---
+    adj_o = jnp.take(jnp.take(adj, inv, axis=0), inv, axis=1)[:n_in, :n_in]
+    kept_o = kept[inv][:n_in]
+    # label values are sorted-space representative ids; map them through
+    # perm so they are a consistent labeling in the caller's index space
+    # (representatives need not be component-minimum ids there)
+    lab_vals = jnp.where(labels < n, perm[jnp.minimum(labels, n - 1)],
+                         jnp.int32(n_in))
+    labels_o = lab_vals[inv][:n_in].astype(jnp.int32)
+    return AGCGraph(adj=adj_o, kept=kept_o, labels=labels_o,
+                    threshold=threshold)
+
+
+def _component_links_head(kpts, labels, kept, C):
+    """Shared head of both reconnect variants: rank-compacted component ids,
+    centroids, each component's nearest component, and the link skip rule.
+
+    Labels are rank-compacted to C dense component ids so the
+    per-component tables are (C+1, N) instead of (n+1, N) — several
     times less HBM traffic at eval scale. Rank order equals label order,
     so the enumeration-order-dependent skip rule is unchanged. (If a
     degenerate graph exceeds C components, the overflow components share
     the last bucket: their links may merge; nothing crashes.)
     """
     n = kpts.shape[0]
-    C = min(n, 4096)
     idx = jnp.arange(n, dtype=jnp.int32)
     safe_labels = jnp.minimum(labels, n - 1)
     is_rep = kept & (labels == idx)
@@ -318,6 +635,22 @@ def _reconnect_components(adj, kpts, d2, labels, kept):
     # linked back to us (nnc[nnc[l]] == l)
     link_ok = comp_ok & (nnc <= C) & ~((nnc < comp_ids) & (nnc_safe[nnc_safe] == comp_ids))
     link_ok = link_ok & (num_comps > 1)
+    return lab, comp_ids, cent, nnc_safe, link_ok, nnc
+
+
+def _reconnect_components(adj, kpts, d2, labels, kept, buckets=4096):
+    """Reference: agc.py:518-565 `fast_connect_components`.
+
+    Single pass: each surviving component links to its nearest component by
+    centroid distance through the closest node pair. A link (i, j) is
+    skipped when (j, i) was already made earlier in the pass; enumeration
+    order is ascending component label (= ascending min node id, matching
+    networkx's connected_components order for nodes inserted 0..N-1).
+    """
+    n = kpts.shape[0]
+    C = min(n, int(buckets))
+    lab, comp_ids, _, nnc_safe, link_ok, nnc = _component_links_head(
+        kpts, labels, kept, C)
 
     # md[c, v] = min_{u in comp c} d2[u, v] — the one unavoidable (N, N)
     # segment reduction. The link endpoints only need the nnc[l]-restricted
@@ -336,6 +669,44 @@ def _reconnect_components(adj, kpts, d2, labels, kept):
     dcols = d2[:, v_l_safe]                                         # (N, C+1)
     src_mask = (lab[:, None] == comp_ids[None, :]) & kept[:, None]  # (N, C+1)
     _, u_l = _first_min_index(dcols, src_mask, axis=0)              # sentinel n
+    u_l_safe = jnp.minimum(u_l, n - 1)
+    ok = link_ok & (v_l < n) & (u_l < n)
+
+    new_edges = jnp.zeros_like(adj).at[u_l_safe, v_l_safe].max(ok)
+    return adj | new_edges | new_edges.T
+
+
+def _reconnect_components_centroid(adj, kpts, labels, kept, buckets=1024):
+    """Approximate reconnect for the TPU fast path.
+
+    Same link topology as :func:`_reconnect_components` (nearest component
+    by centroid distance, ascending-label enumeration, reverse-link skip),
+    but the link ENDPOINTS are picked through centroids instead of the
+    exact closest node pair: v* = the target component's node nearest to
+    OUR centroid, u* = our node nearest to v*. This removes the exact
+    variant's dominant cost — the (C+1, N) segment_min over the full d2
+    matrix — leaving only (C+1, N) coordinate-distance tables built from
+    2-D points (MXU matmuls). The added edge still connects the same
+    component pair; only which node pair carries it can differ.
+    """
+    n = kpts.shape[0]
+    C = min(n, int(buckets))
+    lab, comp_ids, cent, nnc_safe, link_ok, nnc = _component_links_head(
+        kpts, labels, kept, C)
+
+    k2 = jnp.sum(kpts * kpts, axis=1)                      # (N,)
+    c2 = jnp.sum(cent * cent, axis=1)                      # (C+1,)
+    # dt[l, v] = ||cent[l] - kpts[v]||^2
+    dt = c2[:, None] - 2.0 * (cent @ kpts.T) + k2[None, :]  # (C+1, N)
+    tgt_mask = (lab[None, :] == nnc_safe[:, None]) & kept[None, :]
+    _, v_l = _first_min_index(dt, tgt_mask, axis=1)         # sentinel n
+    v_l_safe = jnp.minimum(v_l, n - 1)
+
+    pv = kpts[v_l_safe]                                     # (C+1, 2)
+    # du[u, l] = ||kpts[u] - kpts[v*(l)]||^2
+    du = k2[:, None] - 2.0 * (kpts @ pv.T) + jnp.sum(pv * pv, axis=1)[None, :]
+    src_mask = (lab[:, None] == comp_ids[None, :]) & kept[:, None]
+    _, u_l = _first_min_index(du, src_mask, axis=0)         # sentinel n
     u_l_safe = jnp.minimum(u_l, n - 1)
     ok = link_ok & (v_l < n) & (u_l < n)
 

@@ -124,12 +124,16 @@ class Matching:
 
     def __call__(self, data: dict) -> dict:
         mcfg = self.cfg.matcher
-        acfg = AGCConfig(
+        import dataclasses as _dc
+
+        # carry ALL configured AGC knobs (threshold/cc/reconnect impls
+        # included); the data dict overrides the reference's four
+        acfg = _dc.replace(
+            self.cfg.agc,
             radius=float(data.get("radius", self.cfg.agc.radius)),
             percentile=float(data.get("percentile", self.cfg.agc.percentile)),
             min_size=int(data.get("min_size", self.cfg.agc.min_size)),
             delaunay=bool(data.get("delaunay", self.cfg.agc.delaunay)),
-            cc_rounds=self.cfg.agc.cc_rounds,
         )
 
         return_desc = bool(data.get("return_descriptors", True))

@@ -41,6 +41,32 @@ class AGCConfig:
     # spacing in practice; see tests/test_agc.py approx-vs-exact bound).
     threshold_impl: str = "exact"
     threshold_stride: int = 4
+    # Connected-components implementation. "dense" (parity default) runs
+    # min-label propagation over the full (N, N) adjacency each round.
+    # "sparse" extracts a fixed-degree neighbor list (one top_k pass) and
+    # propagates over it — O(N * cc_degree) per round instead of O(N^2).
+    # Exact whenever every node's true degree <= cc_degree (measured max
+    # degree is ~23 at the eval knobs, scripts/bench_agc_stages.py); the
+    # bidirectional push/pull covers edges one overflowing endpoint drops.
+    cc_impl: str = "dense"
+    cc_degree: int = 32
+    # Component-reconnection implementation. "exact" links the closest
+    # node pair between each component and its nearest-centroid neighbor
+    # (reference parity, agc.py:518-565); "centroid" picks the endpoints
+    # through centroids — same component-pair topology, no (C, N)
+    # segment_min over the d2 matrix. reconnect_buckets bounds the dense
+    # component-id tables (overflow components share the last bucket).
+    reconnect_impl: str = "exact"
+    reconnect_buckets: int = 4096
+    # Graph-build implementation. "dense" materializes (N, N) d2/sim f32
+    # matrices (parity default); "band" sorts keypoints by x and builds
+    # (N, band_halfwidth) bands instead — exact whenever every radius-pair
+    # is within band_halfwidth sorted positions (always true when
+    # band_halfwidth >= N-1); ~6x less HBM traffic at the eval shape.
+    # Band mode always uses the strided approx threshold (computed over
+    # the sorted order, so values can differ slightly from dense-approx).
+    agc_impl: str = "dense"
+    band_halfwidth: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

@@ -434,6 +434,20 @@ class FusedMatching:
             threshold_impl=config.get(
                 "threshold_impl", "approx" if on_tpu else "exact"),
             threshold_stride=int(config.get("threshold_stride", 4)),
+            # measured on v5e at the bench shape (16 x 6144): sparse CC is
+            # 4x SLOWER end-to-end (lax.top_k over 6k-wide rows + segment
+            # scatter dominate); dense CC + centroid reconnect is the win
+            # (7.03 -> 8.16 pairs/s, identical matches)
+            cc_impl=config.get("cc_impl", "dense"),
+            cc_degree=int(config.get("cc_degree", 32)),
+            reconnect_impl=config.get(
+                "reconnect_impl", "centroid" if on_tpu else "exact"),
+            reconnect_buckets=int(config.get(
+                "reconnect_buckets", 1024 if on_tpu else 4096)),
+            # band build measured 8.16 -> 8.85 pairs/s over dense+centroid
+            # at the bench shape, identical match outputs
+            agc_impl=config.get("agc_impl", "band" if on_tpu else "dense"),
+            band_halfwidth=int(config.get("band_halfwidth", 512)),
         )
         fast = config.get("fast_frontend", on_tpu)
         self.fe = FrontendConfig(

@@ -30,6 +30,24 @@ def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None,
     Returns (adj (B,N,N), kept (B,N))."""
     radius = acfg.radius if radius is None else radius
     min_size = acfg.min_size if min_size is None else min_size
+    if acfg.agc_impl == "band":
+        from gims_tpu.agc.graph import build_graph_band
+
+        fn = functools.partial(
+            build_graph_band,
+            radius=radius,
+            percentile=acfg.percentile,
+            min_size=min_size,
+            cc_rounds=acfg.cc_rounds,
+            threshold_stride=acfg.threshold_stride,
+            band_halfwidth=acfg.band_halfwidth,
+            reconnect_impl=acfg.reconnect_impl,
+            reconnect_buckets=acfg.reconnect_buckets,
+        )
+        # band mode computes its own strided threshold rank; the exact
+        # host-side k does not apply
+        out = jax.vmap(lambda a, b, c: fn(a, b, c))(kpts, descs, valid)
+        return out.adj, out.kept
     fn = functools.partial(
         build_graph,
         radius=radius,
@@ -38,6 +56,10 @@ def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None,
         cc_rounds=acfg.cc_rounds,
         threshold_impl=acfg.threshold_impl,
         threshold_stride=acfg.threshold_stride,
+        cc_impl=acfg.cc_impl,
+        cc_degree=acfg.cc_degree,
+        reconnect_impl=acfg.reconnect_impl,
+        reconnect_buckets=acfg.reconnect_buckets,
     )
     if k is None:
         out = jax.vmap(lambda a, b, c: fn(a, b, c))(kpts, descs, valid)

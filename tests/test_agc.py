@@ -72,7 +72,7 @@ def oracle_agc(kpts, descs, radius, percentile, min_size):
     return g, kept, thr
 
 
-def run_both(kpts, descs, radius, percentile, min_size, pad_to=None):
+def run_both(kpts, descs, radius, percentile, min_size, pad_to=None, **kw):
     n = len(kpts)
     nb = pad_to or n
     kp = np.full((nb, 2), 1e6, np.float32)
@@ -83,7 +83,7 @@ def run_both(kpts, descs, radius, percentile, min_size, pad_to=None):
     valid[:n] = True
     out = build_graph(
         jnp.asarray(kp), jnp.asarray(dp), jnp.asarray(valid),
-        radius=radius, percentile=percentile, min_size=min_size,
+        radius=radius, percentile=percentile, min_size=min_size, **kw,
     )
     g, kept, thr = oracle_agc(kpts, descs, radius, percentile, min_size)
     return out, g, kept, thr, n
@@ -132,6 +132,114 @@ def test_agc_clustered_many_components():
     descs = rng.randn(len(kpts), 8).astype(np.float32)
     out, g, kept, thr, n = run_both(kpts, descs, 40.0, 5.0, 6, pad_to=128)
     assert_parity(out, g, kept, thr, n)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_agc_sparse_cc_parity_random(seed):
+    """cc_impl='sparse' (fixed-degree neighbor-list CC) matches the oracle
+    end-to-end whenever true degrees stay under cc_degree."""
+    rng = np.random.RandomState(seed)
+    n = 180
+    kpts = (rng.rand(n, 2) * 200).astype(np.float32)
+    descs = rng.randn(n, 16).astype(np.float32)
+    out, g, kept, thr, n = run_both(kpts, descs, 25.0, 7.0, 5, pad_to=300,
+                                    cc_impl="sparse", cc_degree=48)
+    assert_parity(out, g, kept, thr, n)
+
+
+def test_agc_sparse_cc_parity_eval_knobs():
+    rng = np.random.RandomState(7)
+    n = 256
+    kpts = (rng.rand(n, 2) * 120).astype(np.float32)
+    descs = rng.randn(n, 32).astype(np.float32)
+    out, g, kept, thr, n = run_both(kpts, descs, 15.0, 2.0, 7, pad_to=512,
+                                    cc_impl="sparse", cc_degree=64)
+    assert_parity(out, g, kept, thr, n)
+
+
+def test_agc_sparse_push_covers_overflow():
+    """A hub whose degree exceeds cc_degree stays in one component: the
+    push direction carries edges the overflowing endpoint dropped."""
+    # star graph: hub at origin, 40 spokes within radius; cc_degree=8
+    n = 41
+    kpts = np.zeros((n, 2), np.float32)
+    ang = np.linspace(0, 2 * np.pi, n - 1, endpoint=False)
+    kpts[1:, 0] = 10 * np.cos(ang)
+    kpts[1:, 1] = 10 * np.sin(ang)
+    # identical descriptors -> all similarities 1.0, everything passes
+    descs = np.ones((n, 4), np.float32)
+    out = build_graph(
+        jnp.asarray(kpts), jnp.asarray(np.asarray(descs)),
+        jnp.ones(n, bool), radius=11.0, percentile=2.0, min_size=2,
+        cc_impl="sparse", cc_degree=8,
+    )
+    labels = np.asarray(out.labels)
+    assert (labels == labels[0]).all()
+    assert np.asarray(out.kept).all()
+
+
+def test_agc_centroid_reconnect_same_topology():
+    """reconnect_impl='centroid' links the same COMPONENT pairs as the
+    exact variant (only the carrying node pair may differ)."""
+    rng = np.random.RandomState(42)
+    clusters = []
+    for cx, cy, cnt in [(0, 0, 30), (500, 0, 25), (0, 500, 12),
+                        (500, 500, 9), (250, 250, 8)]:
+        clusters.append(rng.rand(cnt, 2).astype(np.float32) * 30 + [cx, cy])
+    kpts = np.concatenate(clusters)
+    descs = rng.randn(len(kpts), 8).astype(np.float32)
+    n = len(kpts)
+
+    def comps_of(out):
+        adj = np.asarray(out.adj)[:n, :n]
+        kept = np.asarray(out.kept)[:n]
+        gg = nx.Graph()
+        gg.add_nodes_from(np.nonzero(kept)[0].tolist())
+        for i, j in zip(*np.nonzero(adj)):
+            if i < j:
+                gg.add_edge(int(i), int(j))
+        return sorted(frozenset(c) for c in nx.connected_components(gg))
+
+    exact, _, _, _, _ = run_both(kpts, descs, 40.0, 5.0, 6, pad_to=128)
+    cent, _, _, _, _ = run_both(kpts, descs, 40.0, 5.0, 6, pad_to=128,
+                                cc_impl="sparse", cc_degree=64,
+                                reconnect_impl="centroid",
+                                reconnect_buckets=64)
+    np.testing.assert_array_equal(np.asarray(exact.kept),
+                                  np.asarray(cent.kept))
+    assert comps_of(exact) == comps_of(cent)
+    # the centroid variant still connects every surviving component
+    assert len(comps_of(cent)) == 1
+
+
+def test_connected_components_sparse_vs_scipy(rng):
+    from gims_tpu.agc.graph import connected_components_sparse, neighbor_list
+
+    n = 200
+    adj = rng.rand(n, n) < 0.03
+    adj = np.triu(adj, 1)
+    adj = adj | adj.T
+    np.fill_diagonal(adj, False)
+    kpts = (rng.rand(n, 2) * 100).astype(np.float32)
+    d = kpts[:, None, :] - kpts[None, :, :]
+    d2 = jnp.asarray((d * d).sum(-1))
+    valid = np.ones(n, bool)
+    pv_od = jnp.asarray(~np.eye(n, dtype=bool))
+    nbr_idx, nbr_ok, _ = neighbor_list(d2, jnp.asarray(adj), pv_od, 32)
+    # cap can drop edges for hubs; scipy oracle must see the same edge set
+    kept_edges = np.zeros((n, n), bool)
+    ni = np.asarray(nbr_idx)
+    no = np.asarray(nbr_ok)
+    for i in range(n):
+        kept_edges[i, ni[i][no[i]]] = True
+    kept_edges = kept_edges | kept_edges.T
+    labels = np.asarray(connected_components_sparse(
+        nbr_idx, nbr_ok, jnp.asarray(valid), rounds=20))
+    ncomp, scipy_labels = scipy_cc(csr_matrix(kept_edges), directed=False)
+    # same partition: min node id per scipy component == our label
+    for c in range(ncomp):
+        members = np.nonzero(scipy_labels == c)[0]
+        assert (labels[members] == members.min()).all()
 
 
 def test_connected_components_path_graph():
@@ -236,3 +344,106 @@ def test_delaunay_adjacency():
                 want.add((min(s[a], s[b]), max(s[a], s[b])))
     got = {(int(i), int(j)) for i, j in zip(*np.nonzero(adj)) if i < j}
     assert got == want
+
+
+def run_band(kpts, descs, radius, percentile, min_size, pad_to=None, **kw):
+    from gims_tpu.agc.graph import build_graph_band
+
+    n = len(kpts)
+    nb = pad_to or n
+    kp = np.full((nb, 2), 1e6, np.float32)
+    dp = np.zeros((nb, descs.shape[1]), np.float32)
+    kp[:n] = kpts
+    dp[:n] = descs
+    valid = np.zeros(nb, bool)
+    valid[:n] = True
+    return build_graph_band(
+        jnp.asarray(kp), jnp.asarray(dp), jnp.asarray(valid),
+        radius=radius, percentile=percentile, min_size=min_size, **kw,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("pad", [None, 300])
+def test_agc_band_parity_random(seed, pad):
+    """Full-coverage band (halfwidth >= N, stride 1, exact reconnect)
+    reproduces the oracle exactly — including the un-permute back to the
+    caller's keypoint order."""
+    rng = np.random.RandomState(seed)
+    n = 180
+    kpts = (rng.rand(n, 2) * 200).astype(np.float32)
+    descs = rng.randn(n, 16).astype(np.float32)
+    out = run_band(kpts, descs, 25.0, 7.0, 5, pad_to=pad,
+                   threshold_stride=1, band_halfwidth=512,
+                   reconnect_impl="exact", reconnect_buckets=4096)
+    g, kept, thr = oracle_agc(kpts, descs, 25.0, 7.0, 5)
+    assert_parity(out, g, kept, thr, n)
+
+
+def test_agc_band_parity_eval_knobs():
+    rng = np.random.RandomState(7)
+    n = 256
+    kpts = (rng.rand(n, 2) * 120).astype(np.float32)
+    descs = rng.randn(n, 32).astype(np.float32)
+    out = run_band(kpts, descs, 15.0, 2.0, 7, pad_to=512,
+                   threshold_stride=1, band_halfwidth=1024,
+                   reconnect_impl="exact", reconnect_buckets=4096)
+    g, kept, thr = oracle_agc(kpts, descs, 15.0, 2.0, 7)
+    assert_parity(out, g, kept, thr, n)
+
+
+def test_agc_band_window_covers_radius_pairs():
+    """With a NARROW window, band mode still equals the full-coverage band
+    whenever no radius-pair exceeds the window — the operating regime; the
+    x-sort guarantee is checked explicitly."""
+    rng = np.random.RandomState(3)
+    n = 600
+    # spread across x so the x-sorted window covers every radius pair
+    kpts = np.stack([
+        rng.rand(n).astype(np.float32) * 4000,
+        rng.rand(n).astype(np.float32) * 200,
+    ], axis=1)
+    descs = rng.randn(n, 16).astype(np.float32)
+    radius = 25.0
+    order = np.argsort(kpts[:, 0], kind="stable")
+    xs = kpts[order, 0]
+    # max sorted-index gap among radius pairs
+    max_gap = 0
+    for i in range(n):
+        j = np.searchsorted(xs, xs[i] + radius, side="right")
+        max_gap = max(max_gap, j - i - 1)
+    assert max_gap < 128, "test setup: window must cover all pairs"
+    wide = run_band(kpts, descs, radius, 5.0, 5, pad_to=640,
+                    threshold_stride=1, band_halfwidth=640,
+                    reconnect_impl="exact", reconnect_buckets=4096)
+    narrow = run_band(kpts, descs, radius, 5.0, 5, pad_to=640,
+                      threshold_stride=1, band_halfwidth=128,
+                      reconnect_impl="exact", reconnect_buckets=4096)
+    np.testing.assert_array_equal(np.asarray(wide.kept),
+                                  np.asarray(narrow.kept))
+    np.testing.assert_array_equal(np.asarray(wide.adj),
+                                  np.asarray(narrow.adj))
+
+
+def test_agc_band_strided_threshold_matches_dense_on_sorted_input():
+    """threshold_impl parity: when inputs are already x-sorted, the band
+    strided threshold equals the dense approx threshold (same subsample)."""
+    rng = np.random.RandomState(11)
+    n = 256
+    kpts = (rng.rand(n, 2) * 300).astype(np.float32)
+    kpts = kpts[np.argsort(kpts[:, 0], kind="stable")]
+    descs = rng.randn(n, 24).astype(np.float32)
+    dense = build_graph(
+        jnp.asarray(kpts), jnp.asarray(descs), jnp.ones(n, bool),
+        radius=20.0, percentile=4.0, min_size=5,
+        threshold_impl="approx", threshold_stride=4,
+    )
+    band = run_band(kpts, descs, 20.0, 4.0, 5,
+                    threshold_stride=4, band_halfwidth=512,
+                    reconnect_impl="exact", reconnect_buckets=4096)
+    np.testing.assert_allclose(float(band.threshold),
+                               float(dense.threshold), rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(band.adj),
+                                  np.asarray(dense.adj))
+    np.testing.assert_array_equal(np.asarray(band.kept),
+                                  np.asarray(dense.kept))
