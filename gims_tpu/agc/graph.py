@@ -406,6 +406,100 @@ def _diag_band(blocks: jnp.ndarray) -> jnp.ndarray:
     return flat.reshape(nb, br, c + 1)[:, :, :wh].reshape(nb * br, wh)
 
 
+def _band_shear_bwd(band: jnp.ndarray) -> jnp.ndarray:
+    """Backward view of a forward band: bwd[j, m] = band[j-1-m, m].
+
+    band[i, m] holds edge(i, j=i+1+m); bwd[j, m] holds the same edge seen
+    from j. Pure reshape: in the column-major flat buffer, element
+    (m, j-1-m) sits at m*(N-1) + (j-1), so re-viewing with row length N-1
+    shears every column down by m+1. Entries with j-1-m < 0 (wrap
+    garbage) are masked off.
+    """
+    n, wh = band.shape
+    flat = band.T.reshape(-1)                       # (wh*n,)
+    part = flat[: wh * (n - 1)].reshape(wh, n - 1)  # [m, j-1]
+    bwd = jnp.concatenate(
+        [jnp.zeros((wh, 1), band.dtype), part], axis=1).T  # (n, wh)
+    j = jnp.arange(n, dtype=jnp.int32)[:, None]
+    m = jnp.arange(wh, dtype=jnp.int32)[None, :]
+    return bwd & (j - 1 - m >= 0)
+
+
+def _window_values_fwd(vec: jnp.ndarray, n: int, br: int, wh: int,
+                       fill) -> jnp.ndarray:
+    """(N,) vector -> (N, Wh) windows out[i, m] = vec[i+1+m] (fill past N).
+
+    Gather-free: one tiny (nb, BR+Wh) row gather of the padded vector per
+    block, then the diagonal-band reshape.
+    """
+    nb = n // br
+    c = br + wh
+    pad = jnp.concatenate(
+        [vec, jnp.full((wh + 1,), fill, vec.dtype)])
+    col_idx = (jnp.arange(nb, dtype=jnp.int32) * br + 1)[:, None] \
+        + jnp.arange(c, dtype=jnp.int32)[None, :]
+    blocks = jnp.broadcast_to(pad[col_idx][:, None, :], (nb, br, c))
+    return _diag_band(blocks)
+
+
+def _window_values_bwd(vec: jnp.ndarray, n: int, br: int, wh: int,
+                       fill) -> jnp.ndarray:
+    """(N,) vector -> (N, Wh) windows out[j, m] = vec[j-1-m] (fill past 0)."""
+    nb = n // br
+    c = br + wh
+    pad = jnp.concatenate(
+        [jnp.full((wh,), fill, vec.dtype), vec])
+    col_idx = (jnp.arange(nb, dtype=jnp.int32) * br)[:, None] \
+        + jnp.arange(c, dtype=jnp.int32)[None, :]
+    blocks = jnp.broadcast_to(pad[col_idx][:, None, :], (nb, br, c))
+    return _diag_band(blocks)[:, ::-1]
+
+
+def connected_components_band(band: jnp.ndarray, valid: jnp.ndarray,
+                              rounds: int, br: int = 128) -> jnp.ndarray:
+    """Min-label propagation over a forward band edge set.
+
+    Same contract as :func:`connected_components` on the symmetrized
+    dense adjacency of `band` (labels = min node id per component,
+    sentinel N for invalid nodes), but each round reads O(N*Wh) instead
+    of O(N^2): a forward pull (labels of j = i+1+m) and a backward pull
+    (labels of i = j-1-m over the sheared band), both built by the
+    gather-free window tricks, plus 3 pointer jumps.
+    """
+    n, wh = band.shape
+    sentinel = jnp.int32(n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    label0 = jnp.where(valid, idx, sentinel)
+    bwd = _band_shear_bwd(band)
+
+    def one_round(label):
+        lf = _window_values_fwd(label, n, br, wh, sentinel)
+        pulled = jnp.min(jnp.where(band, lf, sentinel), axis=1)
+        lb = _window_values_bwd(label, n, br, wh, sentinel)
+        pushed = jnp.min(jnp.where(bwd, lb, sentinel), axis=1)
+        label = jnp.minimum(label, jnp.minimum(pulled, pushed))
+        label = jnp.where(valid, label, sentinel)
+        for _ in range(3):
+            safe = jnp.minimum(label, n - 1)
+            jumped = jnp.where(label < n, label[safe], sentinel)
+            label = jnp.minimum(label, jumped)
+        return label
+
+    def cond(state):
+        i, _, changed = state
+        return changed & (i < rounds)
+
+    def body(state):
+        i, label, _ = state
+        new = one_round(label)
+        return i + 1, new, jnp.any(new != label)
+
+    _, label, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), one_round(label0), jnp.bool_(True))
+    )
+    return label
+
+
 def _band_to_dense(band: jnp.ndarray) -> jnp.ndarray:
     """(N, Wh) band with band[i, m] = edge(i, i+1+m) -> dense (N, N) bool.
 
@@ -445,13 +539,13 @@ def build_graph_band(
     SAGE matmuls). ~6x less HBM traffic than the dense build at the eval
     shape (N=6144, Wh=512).
 
-    Exact vs :func:`build_graph` whenever (a) every radius-pair is within
-    `band_halfwidth` sorted positions (guaranteed when band_halfwidth >=
-    N-1) and (b) the same strided threshold subsample is used (the
-    subsample is taken in sorted order, so thresholds differ slightly from
-    the unsorted dense-approx ones at stride > 1). The percentile is
-    always the strided approximation — reference-exact ranks need the full
-    (N, N) similarity set this variant exists to avoid.
+    Exact vs :func:`build_graph` (threshold_impl="approx", same stride)
+    whenever every radius-pair is within `band_halfwidth` sorted positions
+    (guaranteed when band_halfwidth >= N-1): the threshold subsample is
+    taken in the caller's row order BEFORE the x-sort, so it is
+    bit-identical to the dense-approx one. The percentile is always the
+    strided approximation — reference-exact ranks need the full (N, N)
+    similarity set this variant exists to avoid (stride 1 = exact).
     """
     n_in = kpts.shape[0]
     BR = 128
@@ -464,26 +558,21 @@ def build_graph_band(
     wh = min(int(band_halfwidth), n)
     wh = ((wh + BR - 1) // BR) * BR
 
-    # --- sort by x (padding/invalid rows sort last; ordering is stable) ---
-    sort_key = jnp.where(valid, kpts[:, 0], BIG)
-    perm = jnp.argsort(sort_key, stable=True)
-    inv = jnp.argsort(perm, stable=True)
-    kp = kpts[perm]
-    va = valid[perm]
-    normed = descs[perm]
-    normed = normed / jnp.maximum(
-        jnp.linalg.norm(normed, axis=1, keepdims=True), 1e-12)
-
     idx = jnp.arange(n, dtype=jnp.int32)
 
     # --- percentile threshold over a strided row subsample (the dense
     # path's threshold_impl="approx", computed directly as a (N/s, N)
-    # matmul instead of slicing a full (N, N) sim matrix) ---
+    # matmul instead of slicing a full (N, N) sim matrix). Taken in the
+    # CALLER's row order, BEFORE the x-sort, so the threshold is
+    # bit-identical to the dense-approx one on the same input ---
+    normed_u = descs / jnp.maximum(
+        jnp.linalg.norm(descs, axis=1, keepdims=True), 1e-12)
     s = max(int(threshold_stride), 1)
-    sub_sim = jnp.matmul(normed[::s], normed.T,
+    sub_sim = jnp.matmul(normed_u[::s], normed_u.T,
                          precision=jax.lax.Precision.HIGH)
     rows = idx[::s]
-    sub_mask = va[::s, None] & va[None, :] & (rows[:, None] < idx[None, :])
+    sub_mask = (valid[::s, None] & valid[None, :]
+                & (rows[:, None] < idx[None, :]))
     cnt_sub = jnp.sum(sub_mask.astype(jnp.int32))
     k_sub = jnp.floor(
         cnt_sub.astype(jnp.float32) * jnp.float32(percentile / 100.0)
@@ -491,6 +580,14 @@ def build_graph_band(
     k_sub = jnp.clip(k_sub, 0, jnp.maximum(cnt_sub - 1, 0))
     threshold = kth_smallest_masked(sub_sim, sub_mask, k_sub,
                                     lo=-1.001, hi=1.001)
+
+    # --- sort by x (padding/invalid rows sort last; ordering is stable) ---
+    sort_key = jnp.where(valid, kpts[:, 0], BIG)
+    perm = jnp.argsort(sort_key, stable=True)
+    inv = jnp.argsort(perm, stable=True)
+    kp = kpts[perm]
+    va = valid[perm]
+    normed = normed_u[perm]
 
     # --- banded d2 / sim over forward offsets j = i+1+m, m in [0, wh) ---
     nb = n // BR
@@ -523,14 +620,12 @@ def build_graph_band(
     band = (ok_b & va[:, None] & (j_fwd < n)
             & (d2_b <= radius * radius) & (sim_b >= threshold))
 
-    adj_half = _band_to_dense(band)
-    adj = adj_half | adj_half.T
-
     # --- isolated-node fix: nearest spatial neighbor from the fwd + bwd
     # distance bands (exact when the true NN is within the window, which
     # band_halfwidth >= N-1 guarantees; at eval densities the spatial NN
     # is essentially always a few sorted positions away) ---
-    degree = jnp.sum(adj, axis=1)
+    degree = (jnp.sum(band, axis=1)
+              + jnp.sum(_band_shear_bwd(band), axis=1))
     has_any_edge = jnp.any(band)
     isolated = va & (degree == 0) & has_any_edge
 
@@ -559,11 +654,22 @@ def build_graph_band(
         jnp.where(cand_d2 == nn_d2[:, None], cand_j, n), axis=1)
     nn_ok = isolated & (nn_d2 < BIG) & (nn_idx < n)
     nn_safe = jnp.clip(nn_idx, 0, n - 1)
-    fix = jnp.zeros_like(adj).at[idx, nn_safe].max(nn_ok)
-    adj = adj | fix | fix.T
+    # fix edges ride the band (the NN comes from the window by
+    # construction): row min(i, nn), forward offset |i - nn| - 1
+    r_fix = jnp.minimum(idx, nn_safe)
+    off_fix = jnp.abs(idx - nn_safe) - 1
+    ok_fix = nn_ok & (off_fix >= 0) & (off_fix < wh)
+    band = band.at[r_fix, jnp.clip(off_fix, 0, wh - 1)].max(ok_fix)
 
-    # --- connected components + pruning + reconnection (dense bool ops,
-    # shared with build_graph) ---
+    # --- densify the bool adjacency (fix edges included), then dense CC.
+    # Measured on v5e at the bench shape: propagation over the dense bool
+    # rows beats the banded window-gather variant
+    # (connected_components_band) by ~160 ms/batch — the per-round
+    # (nb, BR, BR+Wh) int32 window materializations cost more than the
+    # (N, N) bool row reduce. The band variant stays for narrow-window /
+    # huge-N regimes where the dense matrix itself is the problem.
+    adj_half = _band_to_dense(band)
+    adj = adj_half | adj_half.T
     labels = connected_components(adj, va, cc_rounds)
     safe_labels = jnp.minimum(labels, n - 1)
     sizes = jax.ops.segment_sum(va.astype(jnp.int32), safe_labels,
@@ -571,23 +677,36 @@ def build_graph_band(
     kept = va & (sizes[safe_labels] >= jnp.asarray(min_size, jnp.int32))
     adj = adj & kept[:, None] & kept[None, :]
 
+    # --- back to the caller's keypoint order BEFORE reconnection:
+    # reconnect is enumeration-order- and f32-summation-order-sensitive
+    # (component ranks, centroid sums, argmin tie-breaks), so running it
+    # in the caller's order makes band reconnection bit-identical to the
+    # dense path's ---
+    adj = jnp.take(jnp.take(adj, inv, axis=0), inv, axis=1)
+    kept = kept[inv]
+    # canonical labels: minimum ORIGINAL node id per component (what the
+    # dense path produces directly)
+    rep_o = jnp.where(labels < n, perm[jnp.minimum(labels, n - 1)],
+                      jnp.int32(n))  # sorted-space rows -> original rep id
+    lab_o = rep_o[inv]               # per original row, component rep id
+    idx_o = jnp.arange(n, dtype=jnp.int32)
+    min_id = jax.ops.segment_min(
+        jnp.where(lab_o < n, idx_o, jnp.int32(n)),
+        jnp.minimum(lab_o, n - 1), num_segments=n)
+    labels = jnp.where(lab_o < n, min_id[jnp.minimum(lab_o, n - 1)],
+                       jnp.int32(n)).astype(jnp.int32)
+
     if reconnect_impl == "centroid":
-        adj = _reconnect_components_centroid(adj, kp, labels, kept,
+        adj = _reconnect_components_centroid(adj, kpts, labels, kept,
                                              buckets=reconnect_buckets)
     else:
-        d2_full = pairwise_sq_dists(kp)
-        adj = _reconnect_components(adj, kp, d2_full, labels, kept,
+        d2_full = pairwise_sq_dists(kpts)
+        adj = _reconnect_components(adj, kpts, d2_full, labels, kept,
                                     buckets=reconnect_buckets)
 
-    # --- back to the caller's keypoint order (and original padding) ---
-    adj_o = jnp.take(jnp.take(adj, inv, axis=0), inv, axis=1)[:n_in, :n_in]
-    kept_o = kept[inv][:n_in]
-    # label values are sorted-space representative ids; map them through
-    # perm so they are a consistent labeling in the caller's index space
-    # (representatives need not be component-minimum ids there)
-    lab_vals = jnp.where(labels < n, perm[jnp.minimum(labels, n - 1)],
-                         jnp.int32(n_in))
-    labels_o = lab_vals[inv][:n_in].astype(jnp.int32)
+    adj_o = adj[:n_in, :n_in]
+    kept_o = kept[:n_in]
+    labels_o = jnp.minimum(labels[:n_in], jnp.int32(n_in))
     return AGCGraph(adj=adj_o, kept=kept_o, labels=labels_o,
                     threshold=threshold)
 

@@ -63,8 +63,8 @@ class AGCConfig:
     # (N, band_halfwidth) bands instead — exact whenever every radius-pair
     # is within band_halfwidth sorted positions (always true when
     # band_halfwidth >= N-1); ~6x less HBM traffic at the eval shape.
-    # Band mode always uses the strided approx threshold (computed over
-    # the sorted order, so values can differ slightly from dense-approx).
+    # Band mode always uses the strided approx threshold (computed in the
+    # caller's row order, bit-identical to dense-approx; stride 1 = exact).
     agc_impl: str = "dense"
     band_halfwidth: int = 512
 

@@ -488,13 +488,16 @@ class FusedMatching:
         self.compact_transport = bool(config.get("compact_transport", True))
         # trunk bucket after AGC kept-compaction (None = no compaction).
         # At the eval knobs AGC keeps ~half the detection budget, so
-        # compact_to ~= 2/3 * total buys a ~2x cheaper trunk + OT.
-        # Default on TPU: auto-size to 2/3 of the budget (1024-aligned);
-        # pass compact_to=None explicitly to disable.
+        # compact_to ~= total/2 buys a ~4x cheaper trunk + OT. Overflow
+        # drops the LOWEST-detection-score kept keypoints, which the
+        # 50-pair harness shows is quality-NEUTRAL-or-better (those
+        # keypoints are noise: AUC@5 84.7 vs 82.9 at 4096, recall up) for
+        # +15% end-to-end throughput. Default on TPU: total/2,
+        # 1024-aligned; pass compact_to=None explicitly to disable.
         if "compact_to" in config:
             self.compact_to = config["compact_to"]
         elif on_tpu and total_keypoints > 3072:
-            self.compact_to = ((total_keypoints * 2 // 3 + 1023)
+            self.compact_to = ((total_keypoints // 2 + 1023)
                                // 1024) * 1024
         else:
             self.compact_to = None

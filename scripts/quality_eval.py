@@ -49,6 +49,12 @@ def main():
                     help="fused detection pyramid base: 1 = firstOctave=-1 "
                          "(2x upsample), 0 = firstOctave=0 (the bench "
                          "operating point)")
+    ap.add_argument("--agc_impl", default=None,
+                    choices=["dense", "band"],
+                    help="fused graph build (default: FusedMatching's "
+                         "backend auto-default)")
+    ap.add_argument("--band_halfwidth", type=int, default=None,
+                    help="band mode: one-sided sorted-index window")
     ap.add_argument("--out_json", default="output/quality_eval.json")
     args = ap.parse_args()
 
@@ -77,6 +83,9 @@ def main():
             "compact_to": args.compact_to,
             "upsample": bool(args.upsample),
             "dense_first_map_oct": args.dense_first_map_oct,
+            **({"agc_impl": args.agc_impl} if args.agc_impl else {}),
+            **({"band_halfwidth": args.band_halfwidth}
+               if args.band_halfwidth else {}),
             **agc,
         }, variables=unflatten_npz(args.weights),
             car_variables=(unflatten_npz(args.car_weights)
