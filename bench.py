@@ -10,15 +10,18 @@ matching the reference's ~15k-keypoint regime.
 
 Two modes (GIMS_BENCH_MODE=auto|staged|fused, default auto = fused when
 the dense_gray weights exist):
-- fused: gims_tpu/fused.py — ONE XLA program per pair (device DoG
-  detection, MXU banded-matmul pyramid blurs, grayscale dense
-  convolutional CAR-HyNet descriptors, AGC, GNN, OT, compact fixed-point
-  readout), two pairs in flight, single-channel uploads on a worker
-  thread. ~0.39 s/pair wall on the tunneled v5e (2.5 pairs/s, ~40x the
-  reference).
+- fused: gims_tpu/fused.py — ONE XLA program per 8-pair batch (device
+  DoG detection at firstOctave=0, MXU banded-matmul pyramid blurs,
+  grayscale dense convolutional CAR-HyNet descriptors, band AGC, GNN,
+  OT, compact fixed-point readout), two dispatches in flight,
+  single-channel uploads on a worker thread. ~0.095 s/pair wall on the
+  tunneled v5e (~10.5 pairs/s, ~165x the reference), 64 timed pairs.
 - staged: api.Matching — host SIFT detect overlapped on a worker thread
   with the device frontend + matcher (~1.2 s/pair; the host's single CPU
   core caps it). Parity path for reference-style SIFT descriptors.
+  GIMS_BENCH_DETECTOR=device swaps in the on-TPU DoG detector with host
+  SIFT descriptors — the configuration of the repo's best-quality
+  199-pair record (docs/quality_records/staged_devdet_*).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -123,6 +126,7 @@ def _time_fused(matcher, pairs, gray, n_warmup=2, batch=1):
 
         total_matches = 0
         inflight = deque()
+        marks = []  # perf_counter after each collected batch
         with ThreadPoolExecutor(max_workers=1) as pool:
             t0 = time.perf_counter()
             up = [pool.submit(
@@ -131,14 +135,16 @@ def _time_fused(matcher, pairs, gray, n_warmup=2, batch=1):
                 for g in groups]
             for fut in up:
                 inflight.append(matcher.dispatch_batch(*fut.result()))
-                while len(inflight) > 2:
+                while len(inflight) > 3:
                     for pred in matcher.collect_batch(inflight.popleft()):
                         total_matches += int((pred["matches0"][0] > -1).sum())
+                    marks.append(time.perf_counter() - t0)
             while inflight:
                 for pred in matcher.collect_batch(inflight.popleft()):
                     total_matches += int((pred["matches0"][0] > -1).sum())
+                marks.append(time.perf_counter() - t0)
             elapsed = time.perf_counter() - t0
-        return len(timed), elapsed, total_matches
+        return len(timed), elapsed, total_matches, marks
 
     for p in pairs[:n_warmup]:
         matcher.collect(matcher.dispatch(*p))
@@ -159,7 +165,7 @@ def _time_fused(matcher, pairs, gray, n_warmup=2, batch=1):
             pred = matcher.collect(inflight.popleft())
             total_matches += int((pred["matches0"][0] > -1).sum())
         elapsed = time.perf_counter() - t0
-    return len(timed), elapsed, total_matches
+    return len(timed), elapsed, total_matches, []
 
 
 def run_fused(pairs):
@@ -241,11 +247,23 @@ def run_fused(pairs):
     # the device gray conversion is skipped (same BGR weights as cv2)
     gray = source == "dense_gray"
     batch = int(os.environ.get("GIMS_BENCH_BATCH", "8"))
+    # 2 warmup batches + GIMS_BENCH_NBATCH timed batches (default 12 -> 96
+    # timed pairs at batch 8: enough batches that the pipeline-fill
+    # transient amortizes and run-to-run tunnel noise shows up in the
+    # per-half rates instead of hiding in one sample)
+    nbatch = int(os.environ.get("GIMS_BENCH_NBATCH", "12"))
     if batch > 1:
-        # 2 warmup batches + 4 timed batches
-        pairs = make_images(6 * batch)
-    n, elapsed, total_matches = _time_fused(matcher, pairs, gray, batch=batch)
+        pairs = make_images((2 + nbatch) * batch)
+    n, elapsed, total_matches, marks = _time_fused(
+        matcher, pairs, gray, batch=batch)
     extra = {"mode": "fused", "batch": batch, **extra_knobs}
+    if len(marks) >= 4:
+        # robustness evidence: pairs/s over the first and second halves
+        # of the timed stream (pipelined, so halves are approximate)
+        half = len(marks) // 2
+        extra["pairs_per_sec_half1"] = round(half * batch / marks[half - 1], 4)
+        extra["pairs_per_sec_half2"] = round(
+            (len(marks) - half) * batch / (marks[-1] - marks[half - 1]), 4)
 
     # secondary figure: the real-photo regime (photographic SIFT keypoint
     # statistics; same compiled program, so warmup is just pipelining).
@@ -253,8 +271,8 @@ def run_fused(pairs):
     photo_pairs = (make_photo_pairs(8 if batch == 1 else 3 * batch)
                    if os.environ.get("GIMS_BENCH_PHOTOS", "1") != "0" else [])
     if photo_pairs:
-        pn, pel, pm = _time_fused(matcher, photo_pairs, gray, n_warmup=1,
-                                  batch=batch)
+        pn, pel, pm, _ = _time_fused(matcher, photo_pairs, gray, n_warmup=1,
+                                     batch=batch)
         extra["photos_pairs_per_sec"] = round(pn / pel, 4)
         extra["photos_avg_matches"] = pm // max(pn, 1)
     return n, elapsed, total_matches, extra
@@ -265,14 +283,37 @@ def run_staged(pairs):
 
     from gims_tpu.api import Matching
 
-    matcher = Matching(variables=load_variables("gims_tpu_synth.npz"), config={
-        "sinkhorn_iterations": 20,
-        "match_threshold": 0.02,
-        "max_keypoints": 12288,
-        "attention_dtype": "bfloat16",
-        "fast_frontend": True,
-        "use_pallas_sinkhorn": True,
-    })
+    detector = os.environ.get("GIMS_BENCH_DETECTOR", "host")
+    if detector == "device":
+        # the repo's best-quality recorded configuration
+        # (docs/quality_records/staged_devdet_sift_*_n199.json: AUC@5
+        # 88.82 syn / 84.59 photos, precision 49.31): on-TPU DoG
+        # detection + host cv2 SIFT descriptors at those keypoints +
+        # SIFT-trained matcher weights. This mode gives that record its
+        # throughput number (VERDICT r3 item 4).
+        matcher = Matching(
+            variables=load_variables("gims_tpu_sift_last.npz"),
+            config={
+                "sinkhorn_iterations": 20,
+                "match_threshold": 0.02,
+                "max_keypoints": 6144,
+                "attention_dtype": "bfloat16",
+                "fast_frontend": True,
+                "use_pallas_sinkhorn": True,
+                "descriptor_source": "sift",
+                "detector": "device",
+            })
+    else:
+        matcher = Matching(
+            variables=load_variables("gims_tpu_synth.npz"),
+            config={
+                "sinkhorn_iterations": 20,
+                "match_threshold": 0.02,
+                "max_keypoints": 12288,
+                "attention_dtype": "bfloat16",
+                "fast_frontend": True,
+                "use_pallas_sinkhorn": True,
+            })
     agc = {"radius": 15, "percentile": 2, "min_size": 7}
 
     def run(pair, feats=None):
@@ -300,6 +341,7 @@ def run_staged(pairs):
         elapsed = time.perf_counter() - t0
     extra = {
         "mode": "staged",
+        "detector": detector,
         "timings_last_pair": {
             k: round(v, 4) for k, v in matcher.timings.items()
         },

@@ -711,6 +711,40 @@ def build_graph_band(
                     threshold=threshold)
 
 
+def band_coverage(kpts: jnp.ndarray, valid: jnp.ndarray, radius: float,
+                  band_halfwidth: int) -> dict:
+    """Audit the band build's window assumption on one keypoint set.
+
+    Counts the within-`radius` candidate pairs (the dense build's edge
+    candidates, reference: agc.py:436) and how many of them fall OUTSIDE
+    the sorted-x index window — those are the pairs build_graph_band
+    silently drops (AGCConfig density bound). O(N^2) bool work; meant for
+    offline audits / tests, not the hot path.
+
+    Returns {"pairs_in_radius", "pairs_outside_window", "coverage"}.
+    """
+    @jax.jit
+    def counts(kpts, valid):
+        n = kpts.shape[0]
+        d2 = pairwise_sq_dists(kpts)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        upper = (valid[:, None] & valid[None, :]
+                 & (idx[:, None] < idx[None, :]))
+        in_radius = upper & (d2 <= jnp.float32(radius) ** 2)
+        sort_key = jnp.where(valid, kpts[:, 0], BIG)
+        rank = jnp.argsort(jnp.argsort(sort_key, stable=True), stable=True)
+        gap = jnp.abs(rank[:, None] - rank[None, :])
+        outside = in_radius & (gap > band_halfwidth)
+        return jnp.sum(in_radius), jnp.sum(outside)
+
+    total, out = jax.device_get(counts(kpts, valid))
+    return {
+        "pairs_in_radius": int(total),
+        "pairs_outside_window": int(out),
+        "coverage": float(1.0 - out / total) if total > 0 else 1.0,
+    }
+
+
 def _component_links_head(kpts, labels, kept, C):
     """Shared head of both reconnect variants: rank-compacted component ids,
     centroids, each component's nearest component, and the link skip rule.

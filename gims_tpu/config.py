@@ -65,6 +65,14 @@ class AGCConfig:
     # band_halfwidth >= N-1); ~6x less HBM traffic at the eval shape.
     # Band mode always uses the strided approx threshold (computed in the
     # caller's row order, bit-identical to dense-approx; stride 1 = exact).
+    # DENSITY BOUND: band mode silently drops a radius pair when more than
+    # band_halfwidth keypoints separate it in sorted-x order — i.e. when a
+    # 2*radius-wide vertical slab holds > band_halfwidth keypoints. At the
+    # eval operating point (6144 kpts over 800 px, radius 15) a slab
+    # averages ~230 keypoints, so 512 holds ~2.2x margin; for larger
+    # budgets or extreme vertical structure scale band_halfwidth with
+    # total_keypoints * (2 * radius / image_width), or audit a sample with
+    # agc.graph.band_coverage (tests/test_agc.py::test_band_coverage_*).
     agc_impl: str = "dense"
     band_halfwidth: int = 512
 

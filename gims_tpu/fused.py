@@ -527,6 +527,31 @@ class FusedMatching:
         else:
             self.mesh = None
         self.timings = {}
+        # One-time visibility of the backend-resolved knob set (ADVICE r3:
+        # identical configs resolve differently on TPU vs CPU — make the
+        # materialized program auditable). quality_eval.py persists this
+        # dict into every record JSON.
+        import logging
+
+        logging.getLogger("gims_tpu.fused").info(
+            "FusedMatching resolved config: %s", self.resolved_config())
+
+    def resolved_config(self) -> dict:
+        """The materialized knob set this instance actually runs — every
+        backend-conditional default resolved. Self-describing evidence for
+        quality records (a record's `args` alone cannot tell which AGC
+        impl / dtype / approx knobs produced it)."""
+        return {
+            "backend": jax.default_backend(),
+            "matcher": dataclasses.asdict(self.mcfg),
+            "agc": dataclasses.asdict(self.acfg),
+            "frontend": dataclasses.asdict(self.fe),
+            "total_keypoints": self.total,
+            "compact_to": self.compact_to,
+            "compact_transport": self.compact_transport,
+            "descriptor_in_channels": self.car_model.in_channels,
+            "dense_model": self.dense_model is not None,
+        }
 
     def dispatch(self, img0, img1):
         """Async: upload + enqueue the program, return device outputs."""

@@ -141,8 +141,13 @@ class GMatcher(nn.Module):
                 log_optimal_transport_pallas,
             )
 
+            # off-TPU the Mosaic kernel can't lower: run it in interpret
+            # mode so the TPU knob combination stays testable on the CPU
+            # suite (ADVICE r3: the shipped TPU default must be covered
+            # by CPU parity tests, not only by TPU runs)
             Z = log_optimal_transport_pallas(
-                scores, bin_score, cfg.sinkhorn_iterations, kept0, kept1
+                scores, bin_score, cfg.sinkhorn_iterations, kept0, kept1,
+                interpret=jax.default_backend() != "tpu",
             )
         else:
             Z = sinkhorn.log_optimal_transport(

@@ -62,13 +62,15 @@ def _ring_attention_local(q, k, v, bias, axis_name: str):
     """
     p = jax.lax.axis_size(axis_name)
     b, n_l, h, d = q.shape
-    # pvary: the accumulators are per-shard state (they follow the local
-    # q rows), so type them as varying over the mesh axis up front —
-    # otherwise the fori_loop carry flips replicated -> varying
-    acc = jax.lax.pvary(jnp.zeros((b, n_l, h, d), jnp.float32), axis_name)
-    mx = jax.lax.pvary(
-        jnp.full((b, n_l, h), NEG_INF, jnp.float32), axis_name)
-    den = jax.lax.pvary(jnp.zeros((b, n_l, h), jnp.float32), axis_name)
+    # pcast to=varying: the accumulators are per-shard state (they follow
+    # the local q rows), so type them as varying over the mesh axis up
+    # front — otherwise the fori_loop carry flips replicated -> varying
+    acc = jax.lax.pcast(jnp.zeros((b, n_l, h, d), jnp.float32), axis_name,
+                        to="varying")
+    mx = jax.lax.pcast(
+        jnp.full((b, n_l, h), NEG_INF, jnp.float32), axis_name, to="varying")
+    den = jax.lax.pcast(jnp.zeros((b, n_l, h), jnp.float32), axis_name,
+                        to="varying")
     scale = 1.0 / (float(d) ** 0.5)
     perm = [(i, (i + 1) % p) for i in range(p)]
 

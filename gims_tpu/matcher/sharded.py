@@ -99,12 +99,23 @@ def make_forward_match_sharded(mcfg: MatcherConfig, acfg: AGCConfig,
         args = [jax.device_put(a, row) for a in
                 (kpts0, desc0, valid0, kpts1, desc1, valid1)]
         if k0 is None:
-            nv0 = int(np.asarray(jnp.sum(valid0)))
-            nv1 = int(np.asarray(jnp.sum(valid1)))
-            k0 = jnp.asarray([pipeline.percentile_rank(nv0, acfg.percentile)],
-                             jnp.int32)
-            k1 = jnp.asarray([pipeline.percentile_rank(nv1, acfg.percentile)],
-                             jnp.int32)
+            # per-row valid counts: a (B, N) batch gets a (B,) rank vector
+            # (summing over the whole batch would silently inflate the
+            # percentile rank for B > 1)
+            nv0 = np.asarray(jnp.sum(valid0, axis=1))
+            nv1 = np.asarray(jnp.sum(valid1, axis=1))
+            k0 = jnp.asarray(
+                [pipeline.percentile_rank(int(v), acfg.percentile)
+                 for v in nv0], jnp.int32)
+            k1 = jnp.asarray(
+                [pipeline.percentile_rank(int(v), acfg.percentile)
+                 for v in nv1], jnp.int32)
+        # re-bind the ring context before (re)tracing: another sharded
+        # matcher built since construction may have pointed the process
+        # global at a different mesh (ADVICE r3) — the jit cache is
+        # per-matcher, so binding here guarantees every trace sees the
+        # mesh this matcher was built with
+        ring_attention.set_ring_mesh(mesh, axis)
         with jax.sharding.set_mesh(mesh):
             return jitted(jax.device_put(variables, rep), *args,
                           jax.device_put(k0, rep), jax.device_put(k1, rep))

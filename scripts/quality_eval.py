@@ -55,6 +55,10 @@ def main():
                          "backend auto-default)")
     ap.add_argument("--band_halfwidth", type=int, default=None,
                     help="band mode: one-sided sorted-index window")
+    ap.add_argument("--record_tag", default="",
+                    help="extra suffix for the docs/quality_records "
+                         "filename (knob sweeps must not clobber the "
+                         "headline records)")
     ap.add_argument("--out_json", default="output/quality_eval.json")
     args = ap.parse_args()
 
@@ -151,8 +155,26 @@ def main():
               f"{a[1]:.2f} | {a[2]:.2f} | {res['precision']:.2f} | "
               f"{res['recall']:.2f} | {100*skip[name]:.0f} |")
     os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
+    # self-describing evidence (VERDICT r3 weak #4): raw CLI args cannot
+    # tell which backend-resolved knobs (agc_impl, band halfwidth, approx
+    # topk/threshold, dtypes, the detector actually used) produced a
+    # record — persist the materialized program config alongside them
+    if args.fused:
+        resolved = fused.resolved_config()
+        resolved["detector"] = "device (fused DoG)"
+    else:
+        resolved = {
+            "backend": jax.default_backend(),
+            "detector": args.detector,
+            "descriptor_source": args.descriptor_source,
+            "max_keypoints": args.max_keypoints,
+            "sinkhorn_iterations": args.sinkhorn_iterations,
+            "match_threshold": args.match_threshold,
+            "agc": agc,
+        }
     payload = {"rows": {k: v for k, v in rows.items()},
-               "skip": skip, "args": vars(args)}
+               "skip": skip, "args": vars(args),
+               "resolved_config": resolved}
     with open(args.out_json, "w") as f:
         json.dump(payload, f, indent=1)
     # durable (tracked) copy: output/ is gitignored and wiped on env
@@ -168,7 +190,9 @@ def main():
         f"{tag}_{args.descriptor_source}_"
         f"{os.path.splitext(os.path.basename(args.weights))[0]}_"
         f"r{args.agc[0]:g}p{args.agc[1]:g}m{args.agc[2]:g}"
-        f"_n{args.pairs}.json")
+        f"_n{args.pairs}"
+        + (f"_{args.record_tag}" if args.record_tag else "")
+        + ".json")
     os.makedirs(os.path.dirname(rec), exist_ok=True)
     with open(rec, "w") as f:
         json.dump(payload, f, indent=1)

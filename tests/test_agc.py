@@ -488,3 +488,74 @@ def test_connected_components_band_vs_dense(rng):
     got = np.asarray(connected_components_band(
         jnp.asarray(band), jnp.asarray(valid), rounds=20, br=128))
     np.testing.assert_array_equal(got, want)
+
+
+def test_band_coverage_detects_dense_slab():
+    """The band build's density bound (AGCConfig): a vertical slab holding
+    more keypoints than band_halfwidth makes radius pairs fall outside the
+    sorted-x window. band_coverage must flag it (coverage < 1), the narrow
+    band build must actually lose those candidate edges, and a window
+    covering N must restore coverage = 1 and dense parity."""
+    from gims_tpu.agc.graph import band_coverage, build_graph
+
+    rng = np.random.RandomState(5)
+    n = 800
+    # every point inside one radius-wide x-slab: all n points share the
+    # window, so hw=128 << n drops most radius pairs
+    kpts = np.stack([
+        rng.rand(n).astype(np.float32) * 20.0,
+        rng.rand(n).astype(np.float32) * 600.0,
+    ], axis=1)
+    descs = rng.randn(n, 16).astype(np.float32)
+    valid = np.ones(n, bool)
+    radius = 15.0
+
+    cov_narrow = band_coverage(jnp.asarray(kpts), jnp.asarray(valid),
+                               radius, 128)
+    assert cov_narrow["pairs_in_radius"] > 0
+    assert cov_narrow["coverage"] < 0.9  # the slab overwhelms hw=128
+    cov_wide = band_coverage(jnp.asarray(kpts), jnp.asarray(valid),
+                             radius, n - 1)
+    assert cov_wide["coverage"] == 1.0
+    assert cov_wide["pairs_outside_window"] == 0
+
+    dense = build_graph(
+        jnp.asarray(kpts), jnp.asarray(descs), jnp.asarray(valid),
+        radius=radius, percentile=5.0, min_size=5,
+        threshold_impl="approx", threshold_stride=1,
+    )
+    narrow = run_band(kpts, descs, radius, 5.0, 5,
+                      threshold_stride=1, band_halfwidth=128,
+                      reconnect_impl="exact", reconnect_buckets=4096)
+    wide = run_band(kpts, descs, radius, 5.0, 5,
+                    threshold_stride=1, band_halfwidth=n,
+                    reconnect_impl="exact", reconnect_buckets=4096)
+    # full-coverage band == dense; the clipped window loses real edges
+    np.testing.assert_array_equal(np.asarray(wide.adj),
+                                  np.asarray(dense.adj))
+    n_wide = int(np.asarray(wide.adj).sum())
+    n_narrow = int(np.asarray(narrow.adj).sum())
+    assert n_narrow < n_wide, (
+        "hw=128 must lose edges on a dense slab (density bound)")
+
+
+def test_band_coverage_clustered_photo_density():
+    """Photo-statistics x-density (heavy clusters, not uniform): at the
+    shipped default (6144-kpt budget, radius 15, hw 512) a mixture of
+    tight clusters over 800x600 must stay fully covered — clusters are
+    2-D, so a radius-wide x-slab holds far fewer points than the window.
+    Guards the TPU default against silently dropping radius pairs."""
+    from gims_tpu.agc.graph import band_coverage
+
+    rng = np.random.RandomState(11)
+    n = 6144
+    centers = rng.rand(24, 2) * np.array([800.0, 600.0])
+    which = rng.randint(0, 24, n)
+    kpts = (centers[which]
+            + rng.randn(n, 2) * 18.0).astype(np.float32)
+    kpts[:, 0] = np.clip(kpts[:, 0], 0, 800)
+    kpts[:, 1] = np.clip(kpts[:, 1], 0, 600)
+    cov = band_coverage(jnp.asarray(kpts), jnp.asarray(np.ones(n, bool)),
+                        15.0, 512)
+    assert cov["pairs_in_radius"] > 100000  # clusters are genuinely dense
+    assert cov["coverage"] == 1.0

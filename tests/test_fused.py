@@ -144,3 +144,64 @@ def test_fused_dense_layers_single_map():
     pred = m(g0, g1)
     assert pred["keypoints0"].shape[1] > 20
     assert np.isfinite(pred["matching_scores0"]).all()
+
+
+def test_fused_tpu_knob_combination_on_cpu():
+    """The shipped TPU auto-default knob set — bf16 attention, Pallas
+    streaming Sinkhorn (interpret mode off-TPU), approx top-k/threshold,
+    band AGC, centroid reconnect, kept-compaction — exercised end-to-end
+    on the CPU suite (ADVICE r3: CPU parity tests previously never ran
+    the TPU default combination). Matches must satisfy the contract and
+    substantially agree with the exact/f32 CPU default."""
+    img0, img1, _ = _pair(h=120, w=160)
+    g0 = cv2.cvtColor(img0, cv2.COLOR_BGR2GRAY)
+    g1 = cv2.cvtColor(img1, cv2.COLOR_BGR2GRAY)
+    base = {
+        "descriptor_source": "dense_gray",
+        "upsample": False,
+        "init_scheme": "identity",
+    }
+    tpu_combo = FusedMatching({
+        **base,
+        "attention_dtype": "bfloat16",
+        "use_pallas_sinkhorn": True,
+        "fast_frontend": True,
+        "topk_impl": "approx",
+        "threshold_impl": "approx",
+        "agc_impl": "band",
+        "band_halfwidth": 512,
+        "reconnect_impl": "centroid",
+        "reconnect_buckets": 1024,
+        "compact_to": 192,
+    }, total_keypoints=256)
+    exact = FusedMatching({**base, "compact_to": 192}, total_keypoints=256)
+    got = tpu_combo(g0, g1)
+    want = exact(g0, g1)
+
+    # contract: mutual consistency in the compacted space
+    m0 = got["matches0"][0]
+    sel = m0 > -1
+    assert sel.sum() > 10
+    assert np.all(got["matches1"][0][m0[sel]] == np.nonzero(sel)[0])
+    assert np.isfinite(got["matching_scores0"]).all()
+
+    # parity: the knob set trades exactness for speed, so require strong
+    # (not bit) agreement on the matched coordinate pairs
+    def match_set(pred):
+        k0 = pred["keypoints0"][0]
+        k1 = pred["keypoints1"][0]
+        m = pred["matches0"][0]
+        s = m > -1
+        return {(round(float(a[0]), 1), round(float(a[1]), 1),
+                 round(float(b[0]), 1), round(float(b[1]), 1))
+                for a, b in zip(k0[s], k1[m[s]])}
+
+    sa, sb = match_set(got), match_set(want)
+    jac = len(sa & sb) / max(len(sa | sb), 1)
+    assert jac > 0.6, f"TPU knob combo diverged from exact: jaccard={jac}"
+
+    # the resolved config self-describes the combination
+    rc = tpu_combo.resolved_config()
+    assert rc["agc"]["agc_impl"] == "band"
+    assert rc["matcher"]["use_pallas_sinkhorn"] is True
+    assert rc["matcher"]["attention_dtype"] == "bfloat16"
