@@ -129,13 +129,30 @@ def _time_fused(matcher, pairs, gray, n_warmup=2, batch=1):
         marks = []  # perf_counter after each collected batch
         with ThreadPoolExecutor(max_workers=1) as pool:
             t0 = time.perf_counter()
-            up = [pool.submit(
-                lambda g=g: (jax.device_put(np.stack([p[0] for p in g])),
-                             jax.device_put(np.stack([p[1] for p in g]))))
-                for g in groups]
-            for fut in up:
+            # Just-in-time upload pacing: the tunnel is ONE pipe — flooding
+            # every batch's upload at t0 queues ~100 MB ahead of the
+            # dispatch/readout RPCs and starves the first half of the run
+            # (measured: half1 6.3 pairs/s vs half2 11.6 with the flood).
+            # Keeping <= 3 uploads outstanding interleaves transfers with
+            # compute; uploads still count inside the timed region.
+            gi = iter(groups)
+            up = deque()
+
+            def submit_next():
+                g = next(gi, None)
+                if g is not None:
+                    up.append(pool.submit(
+                        lambda g=g: (
+                            jax.device_put(np.stack([p[0] for p in g])),
+                            jax.device_put(np.stack([p[1] for p in g])))))
+
+            for _ in range(3):
+                submit_next()
+            while up:
+                fut = up.popleft()
                 inflight.append(matcher.dispatch_batch(*fut.result()))
-                while len(inflight) > 3:
+                submit_next()
+                while len(inflight) > 2:
                     for pred in matcher.collect_batch(inflight.popleft()):
                         total_matches += int((pred["matches0"][0] > -1).sum())
                     marks.append(time.perf_counter() - t0)

@@ -26,7 +26,7 @@ tests/test_agc.py.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,12 @@ class AGCGraph(NamedTuple):
     kept: jnp.ndarray       # (N,) bool — valid AND survived min_size pruning
     labels: jnp.ndarray     # (N,) int32 component label (min node id; N = invalid)
     threshold: jnp.ndarray  # () f32 cosine threshold actually used
+    # band defer_unpermute mode only: adj is in SORTED-x space (padded to
+    # the build's internal 128-multiple) and inv[i] is caller row i's
+    # sorted position — adj_caller[i, j] == adj[inv[i], inv[j]]. Callers
+    # that compact the graph compose inv into their gather instead of
+    # paying the full (N, N) un-permutation (gims_tpu/matcher/pipeline.py).
+    inv: Optional[jnp.ndarray] = None
 
 
 def pairwise_sq_dists(kpts: jnp.ndarray) -> jnp.ndarray:
@@ -500,15 +506,42 @@ def connected_components_band(band: jnp.ndarray, valid: jnp.ndarray,
     return label
 
 
-def _band_to_dense(band: jnp.ndarray) -> jnp.ndarray:
+def _band_to_dense(band: jnp.ndarray, br: int = 128) -> jnp.ndarray:
     """(N, Wh) band with band[i, m] = edge(i, i+1+m) -> dense (N, N) bool.
 
-    Inverse of the diagonal trick: dense flat position of (i, j=i+1+m) is
-    i*N + i + 1 + m = [i*(N+1) + m] + 1, so padding rows to N+1, flattening
-    and shifting by one lands every band entry in place. Entries must
-    already be False for j >= N (they would alias into the next row).
+    Two constructions of the same array:
+
+    * fast path (N % br == 0): per-`br`-row-block inverse shear (the
+      (C+1) -> C flat re-view, _diag_band's trick run backwards) followed
+      by a GROUP-level flat re-view that lands block b at column b*br —
+      the group strides differ by exactly `br`, so every row of the final
+      view starts 128-lane-aligned. Measured on v5e at (16, 6144, 512):
+      ~5 ms vs ~105 ms for the global-shift construction below (whose two
+      full-size re-views are misaligned by one element and lower to
+      pathological lane-shift copies).
+    * fallback: pad rows to N+1, flatten, shift the whole buffer by one —
+      dense flat position of (i, j=i+1+m) is i*(N+1) + m + 1.
+
+    Entries must already be False for j >= N (they would alias).
     """
     n, wh = band.shape
+    if n % br == 0 and n > br:
+        nb = n // br
+        c = br + wh + 128          # block width fits r+1+m for r < br
+        w_out = n + c
+        rows = band.reshape(nb, br, wh)
+        # inverse shear: padded[b, r] = [0, band row r, 0...] of width c+1;
+        # flat pos r*(c+1) + (m+1) re-viewed with row length c lands at
+        # (r, r+1+m)
+        padded = jnp.pad(rows, ((0, 0), (0, 0), (1, c - wh)))
+        blocks = padded.reshape(nb, br * (c + 1))[:, : br * c]
+        # group placement: rows of length w_out from a buffer whose groups
+        # stride br*w_out + br put group b at column offset b*br
+        groups = jnp.pad(
+            blocks.reshape(nb, br, c), ((0, 0), (0, 0), (0, w_out - c)))
+        flat = jnp.pad(groups.reshape(nb, br * w_out), ((0, 0), (0, br)))
+        dense = flat.reshape(-1)[: n * w_out].reshape(n, w_out)
+        return dense[:, :n]
     padded = jnp.pad(band, ((0, 0), (0, n + 1 - wh))).reshape(-1)
     shifted = jnp.concatenate(
         [jnp.zeros((1,), band.dtype), padded])
@@ -527,6 +560,7 @@ def build_graph_band(
     band_halfwidth: int = 512,
     reconnect_impl: str = "centroid",
     reconnect_buckets: int = 1024,
+    defer_unpermute: bool = False,
 ) -> AGCGraph:
     """Band-limited AGC: same contract as :func:`build_graph`, O(N*W) build.
 
@@ -679,10 +713,14 @@ def build_graph_band(
 
     # --- back to the caller's keypoint order BEFORE reconnection:
     # reconnect is enumeration-order- and f32-summation-order-sensitive
-    # (component ranks, centroid sums, argmin tie-breaks), so running it
-    # in the caller's order makes band reconnection bit-identical to the
-    # dense path's ---
-    adj = jnp.take(jnp.take(adj, inv, axis=0), inv, axis=1)
+    # (component ranks, centroid sums, argmin tie-breaks), so it always
+    # runs with CALLER-order vectors, making band reconnection
+    # bit-identical to the dense path's. The caller-order vectors (kept,
+    # labels) are cheap row gathers; the (N, N) un-permutation of adj is
+    # NOT — so with defer_unpermute the matrix stays in sorted space and
+    # the caller composes `inv` into its own downstream gather
+    # (pipeline._compact_side), while reconnect's two link edges are
+    # scattered through inv. Bit-identical either way.
     kept = kept[inv]
     # canonical labels: minimum ORIGINAL node id per component (what the
     # dense path produces directly)
@@ -696,17 +734,32 @@ def build_graph_band(
     labels = jnp.where(lab_o < n, min_id[jnp.minimum(lab_o, n - 1)],
                        jnp.int32(n)).astype(jnp.int32)
 
+    scatter_map = inv if defer_unpermute else None
+    if not defer_unpermute:
+        # row-gather + transpose twice: a minor-axis (column) gather on
+        # the (N, N) bool matrix lowers to a lane-shift relayout; two
+        # aligned row gathers + two transposes are cheaper and
+        # bit-identical (B[:, inv] == (B.T[inv]).T)
+        adj = jnp.take(jnp.take(adj, inv, axis=0).T, inv, axis=0).T
+
     if reconnect_impl == "centroid":
         adj = _reconnect_components_centroid(adj, kpts, labels, kept,
-                                             buckets=reconnect_buckets)
+                                             buckets=reconnect_buckets,
+                                             scatter_map=scatter_map)
     else:
         d2_full = pairwise_sq_dists(kpts)
         adj = _reconnect_components(adj, kpts, d2_full, labels, kept,
-                                    buckets=reconnect_buckets)
+                                    buckets=reconnect_buckets,
+                                    scatter_map=scatter_map)
 
-    adj_o = adj[:n_in, :n_in]
     kept_o = kept[:n_in]
     labels_o = jnp.minimum(labels[:n_in], jnp.int32(n_in))
+    if defer_unpermute:
+        # adj stays (n, n) sorted-space (rows of invalid/pruned nodes are
+        # all-False, so composed gathers never need clamping)
+        return AGCGraph(adj=adj, kept=kept_o, labels=labels_o,
+                        threshold=threshold, inv=inv[:n_in])
+    adj_o = adj[:n_in, :n_in]
     return AGCGraph(adj=adj_o, kept=kept_o, labels=labels_o,
                     threshold=threshold)
 
@@ -791,7 +844,8 @@ def _component_links_head(kpts, labels, kept, C):
     return lab, comp_ids, cent, nnc_safe, link_ok, nnc
 
 
-def _reconnect_components(adj, kpts, d2, labels, kept, buckets=4096):
+def _reconnect_components(adj, kpts, d2, labels, kept, buckets=4096,
+                          scatter_map=None):
     """Reference: agc.py:518-565 `fast_connect_components`.
 
     Single pass: each surviving component links to its nearest component by
@@ -825,11 +879,19 @@ def _reconnect_components(adj, kpts, d2, labels, kept, buckets=4096):
     u_l_safe = jnp.minimum(u_l, n - 1)
     ok = link_ok & (v_l < n) & (u_l < n)
 
-    new_edges = jnp.zeros_like(adj).at[u_l_safe, v_l_safe].max(ok)
-    return adj | new_edges | new_edges.T
+    # two tiny scatters into adj itself — a zeros_like + | + .T costs three
+    # full (N, N) bool passes plus a transpose (~15 ms/batch at the bench
+    # shape); the in-place form is free. scatter_map routes the caller-id
+    # link endpoints into a sorted-space adj (band defer_unpermute mode).
+    if scatter_map is not None:
+        u_l_safe = scatter_map[u_l_safe]
+        v_l_safe = scatter_map[v_l_safe]
+    return (adj.at[u_l_safe, v_l_safe].max(ok)
+            .at[v_l_safe, u_l_safe].max(ok))
 
 
-def _reconnect_components_centroid(adj, kpts, labels, kept, buckets=1024):
+def _reconnect_components_centroid(adj, kpts, labels, kept, buckets=1024,
+                                   scatter_map=None):
     """Approximate reconnect for the TPU fast path.
 
     Same link topology as :func:`_reconnect_components` (nearest component
@@ -863,8 +925,11 @@ def _reconnect_components_centroid(adj, kpts, labels, kept, buckets=1024):
     u_l_safe = jnp.minimum(u_l, n - 1)
     ok = link_ok & (v_l < n) & (u_l < n)
 
-    new_edges = jnp.zeros_like(adj).at[u_l_safe, v_l_safe].max(ok)
-    return adj | new_edges | new_edges.T
+    if scatter_map is not None:
+        u_l_safe = scatter_map[u_l_safe]
+        v_l_safe = scatter_map[v_l_safe]
+    return (adj.at[u_l_safe, v_l_safe].max(ok)
+            .at[v_l_safe, u_l_safe].max(ok))
 
 
 def delaunay_adjacency_host(kpts, valid):

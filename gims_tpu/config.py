@@ -379,6 +379,18 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
         percentile=raw.get("agc", {}).get("percentile", cfg.agc.percentile),
         min_size=raw.get("agc", {}).get("min_size", cfg.agc.min_size),
         delaunay=raw.get("agc", {}).get("delaunay", cfg.agc.delaunay),
+        # graph-build impl knobs: training with the SERVING graph build
+        # (band + centroid reconnect, the FusedMatching TPU default) makes
+        # the learned weights match the deployed program exactly
+        agc_impl=raw.get("agc", {}).get("agc_impl", cfg.agc.agc_impl),
+        band_halfwidth=raw.get("agc", {}).get(
+            "band_halfwidth", cfg.agc.band_halfwidth),
+        threshold_impl=raw.get("agc", {}).get(
+            "threshold_impl", cfg.agc.threshold_impl),
+        reconnect_impl=raw.get("agc", {}).get(
+            "reconnect_impl", cfg.agc.reconnect_impl),
+        reconnect_buckets=raw.get("agc", {}).get(
+            "reconnect_buckets", cfg.agc.reconnect_buckets),
     )
     return GIMSConfig(
         agc=agc, matcher=matcher, frontend=frontend, dataset=dataset,

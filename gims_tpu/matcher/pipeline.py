@@ -21,13 +21,17 @@ from gims_tpu.matcher.gmatcher import GMatcher, normalize_keypoints
 
 
 def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None,
-            radius=None, min_size=None):
+            radius=None, min_size=None, defer_unpermute=False):
     """Batched AGC. kpts (B,N,2), descs (B,N,D), valid (B,N).
 
     `k` is the optional per-item percentile rank (B,) computed host-side.
     `radius`/`min_size` may be traced scalars (parameter sweeps replay the
     same executable); they default to the acfg values.
-    Returns (adj (B,N,N), kept (B,N))."""
+    Returns (adj (B,N,N), kept (B,N), inv) — inv is None except in band
+    defer_unpermute mode, where adj stays in sorted-x space and
+    adj_caller[b, i, j] == adj[b, inv[b, i], inv[b, j]] (the caller
+    composes inv into its compaction gather instead of paying the full
+    (N, N) un-permutation)."""
     radius = acfg.radius if radius is None else radius
     min_size = acfg.min_size if min_size is None else min_size
     if acfg.agc_impl == "band":
@@ -43,11 +47,12 @@ def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None,
             band_halfwidth=acfg.band_halfwidth,
             reconnect_impl=acfg.reconnect_impl,
             reconnect_buckets=acfg.reconnect_buckets,
+            defer_unpermute=defer_unpermute,
         )
         # band mode computes its own strided threshold rank; the exact
         # host-side k does not apply
         out = jax.vmap(lambda a, b, c: fn(a, b, c))(kpts, descs, valid)
-        return out.adj, out.kept
+        return out.adj, out.kept, out.inv
     fn = functools.partial(
         build_graph,
         radius=radius,
@@ -67,7 +72,7 @@ def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None,
         out = jax.vmap(lambda a, b, c, kk: fn(a, b, c, k=kk))(
             kpts, descs, valid, k
         )
-    return out.adj, out.kept
+    return out.adj, out.kept, None
 
 
 def percentile_rank(num_valid: int, percentile: float) -> int:
@@ -82,7 +87,7 @@ def percentile_rank(num_valid: int, percentile: float) -> int:
     return k
 
 
-def _compact_side(kpts, desc, adj, kept, scores, nc: int):
+def _compact_side(kpts, desc, adj, kept, scores, nc: int, inv=None):
     """Gather the kept keypoints of one side into a static (B, nc) bucket.
 
     AGC keeps ~half the budget at the eval knobs, so the trunk + OT —
@@ -90,6 +95,13 @@ def _compact_side(kpts, desc, adj, kept, scores, nc: int):
     the KEPT set instead of the detection budget. Order: kept first, by
     detection score descending (overflow beyond nc drops the lowest-score
     kept keypoints). Returns (idx (B,nc), kpts_c, desc_c, adj_c, kept_c).
+
+    inv (band defer_unpermute mode): adj is in sorted-x space and
+    adj_caller[i, j] == adj[inv[i], inv[j]] — composing inv into the
+    gather indices yields the same adj_c without ever materializing the
+    caller-order (N, N) matrix. The column gather runs as
+    transpose + row gather + transpose (a minor-axis gather on (N, N)
+    lowers to a lane-shift relayout on TPU).
     """
     b, n = kept.shape
     sc = jnp.zeros_like(kept, jnp.float32) if scores is None else scores
@@ -101,8 +113,11 @@ def _compact_side(kpts, desc, adj, kept, scores, nc: int):
     )
     kpts_c = kpts[bi, idx]
     desc_c = desc[bi, idx]
-    adj_c = jnp.take_along_axis(adj, idx[:, :, None], axis=1)
-    adj_c = jnp.take_along_axis(adj_c, idx[:, None, :], axis=2)
+    ci = idx if inv is None else jnp.take_along_axis(inv, idx, axis=1)
+    rows = jnp.take_along_axis(
+        adj, ci[:, :, None], axis=1)                 # (B, nc, N*)
+    adj_c = jnp.take_along_axis(
+        rows.swapaxes(1, 2), ci[:, :, None], axis=1).swapaxes(1, 2)
     return idx, kpts_c, desc_c, adj_c, kept_c
 
 
@@ -165,6 +180,17 @@ def forward_match(
     AGC prunes aggressively; results are scattered back so the output
     contract is unchanged.
     """
+    nb0, nb1 = kpts0.shape[1], kpts1.shape[1]
+    # band + compaction + unsharded: leave the AGC adjacency in sorted-x
+    # space and fold the un-permutation into the compaction gather below
+    # (bit-identical; saves two full (N, N) passes per side)
+    defer = (
+        acfg.agc_impl == "band"
+        and shard_axis is None
+        and compact_to is not None
+        and compact_to < max(nb0, nb1)
+    )
+    inv0 = inv1 = None
     if adj0 is None and adj1 is None and kpts0.shape == kpts1.shape:
         # same bucket on both sides: one batched AGC over the stacked pair
         # halves the fixed per-call costs
@@ -172,23 +198,27 @@ def forward_match(
         kk = None
         if k0 is not None and k1 is not None:
             kk = jnp.concatenate([jnp.atleast_1d(k0), jnp.atleast_1d(k1)])
-        adj, kept = run_agc(
+        adj, kept, inv = run_agc(
             jnp.concatenate([kpts0, kpts1]),
             jnp.concatenate([desc0, desc1]),
             jnp.concatenate([valid0, valid1]),
-            acfg, kk, radius, min_size,
+            acfg, kk, radius, min_size, defer_unpermute=defer,
         )
         adj0, adj1 = adj[:b], adj[b:]
         kept0, kept1 = kept[:b], kept[b:]
+        if inv is not None:
+            inv0, inv1 = inv[:b], inv[b:]
     else:
         if adj0 is None:
-            adj0, kept0 = run_agc(kpts0, desc0, valid0, acfg, k0, radius,
-                                  min_size)
+            adj0, kept0, inv0 = run_agc(kpts0, desc0, valid0, acfg, k0,
+                                        radius, min_size,
+                                        defer_unpermute=defer)
         else:
             kept0 = valid0
         if adj1 is None:
-            adj1, kept1 = run_agc(kpts1, desc1, valid1, acfg, k1, radius,
-                                  min_size)
+            adj1, kept1, inv1 = run_agc(kpts1, desc1, valid1, acfg, k1,
+                                        radius, min_size,
+                                        defer_unpermute=defer)
         else:
             kept1 = valid1
 
@@ -205,13 +235,12 @@ def forward_match(
         adj1 = jax.lax.with_sharding_constraint(adj1, row_mat)
 
     h, w = image_shape
-    nb0, nb1 = kpts0.shape[1], kpts1.shape[1]
     if compact_to is not None and compact_to < max(nb0, nb1):
         nc = int(compact_to)
         idx0, kpts0, desc0, adj0, kept0_c = _compact_side(
-            kpts0, desc0, adj0, kept0, scores0, nc)
+            kpts0, desc0, adj0, kept0, scores0, nc, inv=inv0)
         idx1, kpts1, desc1, adj1, kept1_c = _compact_side(
-            kpts1, desc1, adj1, kept1, scores1, nc)
+            kpts1, desc1, adj1, kept1, scores1, nc, inv=inv1)
         kept0, kept1 = kept0_c, kept1_c
 
     kpts0n = normalize_keypoints(kpts0, h, w, mcfg.normalization)
@@ -288,8 +317,8 @@ def training_forward(
     """
     batch = kpts0.shape[0]
     nb0, nb1 = kpts0.shape[1], kpts1.shape[1]
-    adj0, kept0 = run_agc(kpts0, desc0, valid0, acfg, k0)
-    adj1, kept1 = run_agc(kpts1, desc1, valid1, acfg, k1)
+    adj0, kept0, _ = run_agc(kpts0, desc0, valid0, acfg, k0)
+    adj1, kept1, _ = run_agc(kpts1, desc1, valid1, acfg, k1)
 
     h, w = image_shape
     kpts0n = normalize_keypoints(kpts0, h, w, mcfg.normalization)

@@ -107,7 +107,16 @@ def main():
                                    m.car_model, m.dense_model, blur)
         return jax.vmap(one)(a), jax.vmap(one)(b)
 
+    print(f"batch={batch} kpts={m.total} compact={m.compact_to} "
+          f"fmo={m.fe.dense_first_map_oct} upsample={m.fe.upsample}",
+          flush=True)
+
+    def report(name, t):
+        print(f"{name:28s} {1e3 * t:8.1f} ms/batch "
+              f"({1e3 * t / batch:6.1f} ms/pair)", flush=True)
+
     t_ex = sync_time(extract_both, d0, d1)
+    report("extract (both sides)", t_ex)
     (kp0, sc0, va0, de0), (kp1, sc1, va1, de1) = jax.block_until_ready(
         extract_both(d0, d1))
 
@@ -118,6 +127,7 @@ def main():
             jnp.concatenate([va0, va1]), m.acfg)
 
     t_agc = sync_time(agc_only, kp0, de0, va0, kp1, de1, va1)
+    report("agc", t_agc)
 
     @jax.jit
     def matcher_fn(variables, kp0, de0, va0, kp1, de1, va1, sc0, sc1):
@@ -131,21 +141,15 @@ def main():
                           sc0, sc1)
 
     t_mat = sync_time(run_matcher)
+    report("matcher (agc+trunk+OT)", t_mat)
+    report("  trunk+OT ~= matcher-agc", t_mat - t_agc)
 
     def run_full():
         return m.dispatch_batch(d0, d1)
 
     t_full = sync_time(run_full)
-
-    print(f"batch={batch} kpts={m.total} compact={m.compact_to} "
-          f"fmo={m.fe.dense_first_map_oct} upsample={m.fe.upsample}")
-    for name, t in [("extract (both sides)", t_ex), ("agc", t_agc),
-                    ("matcher (agc+trunk+OT)", t_mat),
-                    ("  trunk+OT ~= matcher-agc", t_mat - t_agc),
-                    ("full fused program", t_full),
-                    ("  stage sum ex+matcher", t_ex + t_mat)]:
-        print(f"{name:28s} {1e3 * t:8.1f} ms/batch "
-              f"({1e3 * t / batch:6.1f} ms/pair)")
+    report("full fused program", t_full)
+    report("  stage sum ex+matcher", t_ex + t_mat)
 
 
 if __name__ == "__main__":

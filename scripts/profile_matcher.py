@@ -104,7 +104,7 @@ def main():
     # --- AGC alone (batched 2, like the stacked-pair path) ---
     @jax.jit
     def agc_only(kp, de, va, kk, radius, min_size):
-        adj, kept = pipeline.run_agc(kp, de, va, acfg, kk, radius, min_size)
+        adj, kept, _ = pipeline.run_agc(kp, de, va, acfg, kk, radius, min_size)
         return kept
 
     agc_only(kp, de, va, kk, radius, min_size)
@@ -142,7 +142,7 @@ def main():
     print(f"sim matmul (2)    {best*1e3:8.1f} ms  {ts}")
 
     # --- CC alone on the AGC adjacency ---
-    adj_dev, kept_dev = jax.jit(
+    adj_dev, kept_dev, _ = jax.jit(
         lambda kp, de, va, kk, r, m: pipeline.run_agc(kp, de, va, acfg, kk,
                                                       r, m)
     )(kp, de, va, kk, radius, min_size)

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Beyond-one-chip evidence at the reference's pain-point scale.
+
+The reference peaks at 7.38 GB for N ~ 15k keypoints on one GPU
+(/root/reference/README.md:160) and has no way past one device. This
+script compiles `make_forward_match_sharded` (gims_tpu/matcher/sharded.py)
+at N >= 16384 over the 8-virtual-device CPU mesh and records the
+per-device compiled memory footprint next to the single-chip dense
+program's, proving the O(N^2) intermediates are physically sharded ~1/P.
+
+Writes docs/sharded_bigbucket.json. Run:
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python scripts/sharded_bigbucket.py [--nb 16384]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nb", type=int, nargs="+", default=[16384])
+    ap.add_argument("--out", default="docs/sharded_bigbucket.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gims_tpu.api import init_gmatcher_variables
+    from gims_tpu.config import AGCConfig, MatcherConfig
+    from gims_tpu.matcher import pipeline
+    from gims_tpu.matcher.sharded import (
+        make_forward_match_sharded,
+        sharded_memory_analysis,
+    )
+
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices), ("kp",))
+    mcfg = MatcherConfig(sinkhorn_iterations=20, match_threshold=0.02)
+    acfg = AGCConfig(radius=15.0, percentile=2.0, min_size=7)
+    variables = init_gmatcher_variables(mcfg, 0)
+
+    report = {"n_devices": len(devices), "buckets": {}}
+    for nb in args.nb:
+        entry = {}
+        ma = sharded_memory_analysis(mcfg, acfg, mesh, (600, 800), nb,
+                                     variables)
+        entry["sharded_per_device"] = ma
+
+        # single-chip dense program at the same bucket, memory analysis
+        # only (never executed)
+        sh = jax.ShapeDtypeStruct
+        fargs = [
+            sh((1, nb, 2), jnp.float32),
+            sh((1, nb, mcfg.input_dim), jnp.float32),
+            sh((1, nb), jnp.bool_),
+            sh((1, nb, 2), jnp.float32),
+            sh((1, nb, mcfg.input_dim), jnp.float32),
+            sh((1, nb), jnp.bool_),
+            sh((1,), jnp.int32),
+            sh((1,), jnp.int32),
+        ]
+        vab = jax.tree_util.tree_map(
+            lambda x: sh(jnp.shape(x), jnp.result_type(x)), variables)
+
+        def dense_fn(variables, kp0, de0, va0, kp1, de1, va1, k0, k1):
+            return pipeline.forward_match(
+                variables, mcfg, acfg, kp0, de0, va0, kp1, de1, va1,
+                (600, 800), k0=k0, k1=k1)
+
+        try:
+            compiled = jax.jit(dense_fn).lower(vab, *fargs).compile()
+            m = compiled.memory_analysis()
+            entry["dense_single_chip"] = {
+                "temp_size_bytes": int(m.temp_size_in_bytes),
+                "argument_size_bytes": int(m.argument_size_in_bytes),
+            }
+        except Exception as e:  # noqa: BLE001
+            entry["dense_single_chip"] = {"error": f"{type(e).__name__}: {e}"}
+
+        if (entry["sharded_per_device"]
+                and "temp_size_bytes" in entry.get("dense_single_chip", {})):
+            s = entry["sharded_per_device"]["temp_size_bytes"]
+            d = entry["dense_single_chip"]["temp_size_bytes"]
+            entry["per_device_over_dense"] = round(s / d, 4)
+        report["buckets"][str(nb)] = entry
+        print(json.dumps({nb: entry}), flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -559,3 +559,35 @@ def test_band_coverage_clustered_photo_density():
                         15.0, 512)
     assert cov["pairs_in_radius"] > 100000  # clusters are genuinely dense
     assert cov["coverage"] == 1.0
+
+
+@pytest.mark.parametrize("reconnect", ["exact", "centroid"])
+def test_band_defer_unpermute_composes(reconnect):
+    """defer_unpermute returns the sorted-space adjacency + inv such that
+    composing inv reproduces the caller-order matrix bit-exactly —
+    including the reconnect link edges scattered through inv."""
+    from gims_tpu.agc.graph import build_graph_band
+
+    rng = np.random.RandomState(9)
+    n = 300  # pads internally to 384 (128-multiple), so inv covers pads
+    kpts = (rng.rand(n, 2) * 250).astype(np.float32)
+    descs = rng.randn(n, 16).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[rng.choice(n, 20, replace=False)] = False
+    kw = dict(radius=20.0, percentile=5.0, min_size=5,
+              threshold_stride=2, band_halfwidth=512,
+              reconnect_impl=reconnect, reconnect_buckets=4096)
+    plain = build_graph_band(jnp.asarray(kpts), jnp.asarray(descs),
+                             jnp.asarray(valid), **kw)
+    deferred = build_graph_band(jnp.asarray(kpts), jnp.asarray(descs),
+                                jnp.asarray(valid), defer_unpermute=True,
+                                **kw)
+    assert deferred.inv is not None
+    inv = np.asarray(deferred.inv)
+    adj_s = np.asarray(deferred.adj)
+    composed = adj_s[inv][:, inv]
+    np.testing.assert_array_equal(composed, np.asarray(plain.adj))
+    np.testing.assert_array_equal(np.asarray(deferred.kept),
+                                  np.asarray(plain.kept))
+    np.testing.assert_array_equal(np.asarray(deferred.labels),
+                                  np.asarray(plain.labels))
