@@ -14,8 +14,9 @@ the dense_gray weights exist):
   DoG detection at firstOctave=0, MXU banded-matmul pyramid blurs,
   grayscale dense convolutional CAR-HyNet descriptors, band AGC, GNN,
   OT, compact fixed-point readout), two dispatches in flight,
-  single-channel uploads on a worker thread. ~0.095 s/pair wall on the
-  tunneled v5e (~10.5 pairs/s, ~165x the reference), 64 timed pairs.
+  single-channel uploads paced to <=3 outstanding on a worker thread.
+  ~0.085 s/pair wall on the tunneled v5e (~11.8 pairs/s, ~185x the
+  reference), 96 timed pairs with per-half rates.
 - staged: api.Matching — host SIFT detect overlapped on a worker thread
   with the device frontend + matcher (~1.2 s/pair; the host's single CPU
   core caps it). Parity path for reference-style SIFT descriptors.
