@@ -23,6 +23,24 @@ def increment_path(path, exist_ok=True, sep=""):
     return f"{path}{sep}{n}"
 
 
+def resolve_save_dir(base, restore_path):
+    """Run-dir choice: version a fresh run (reference utils/common.py:76-86
+    yolo-style), but RESUME IN PLACE when --restore_path points inside the
+    run dir itself — otherwise a crash-resume silently forks a `<name>2`
+    dir and every later checkpoint lands away from where tooling
+    (export/promote scripts) looks.
+    """
+    base = Path(base)
+    if restore_path is not None:
+        try:
+            restore = Path(restore_path).resolve()
+            if restore.is_relative_to(base.resolve()):
+                return str(base)
+        except (OSError, ValueError):
+            pass
+    return increment_path(base, exist_ok=False)
+
+
 def main(argv=None):
     from gims_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -97,8 +115,8 @@ def main(argv=None):
                 cfg.matcher, init_scheme=args.init_scheme
             ),
         )
-    save_dir = increment_path(
-        Path(cfg.train.output_dir) / args.name, exist_ok=False
+    save_dir = resolve_save_dir(
+        Path(cfg.train.output_dir) / args.name, args.restore_path
     )
     from gims_tpu.train.loop import train
 

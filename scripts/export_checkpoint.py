@@ -28,7 +28,14 @@ def main():
                          "template must match: use_ema, optimizer groups)")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Checkpoint conversion is pure host work; never touch the remote
+    # backend (the environment's sitecustomize pins JAX_PLATFORMS=axon
+    # before this script runs, so the env var alone is not enough — and a
+    # dead tunnel would hang the orbax restore forever).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     from gims_tpu.config import load_config
     from gims_tpu.api import init_gmatcher_variables

@@ -10,7 +10,9 @@
 # stays a separate decision after reading the table.
 cd /root/repo || exit 1
 LOG=/tmp/post_e2e_band.log
-RUN=output/train/e2e_band
+# newest e2e_band* run dir (a pre-fix crash-resume may have forked
+# e2e_band2; train_cli.resolve_save_dir now resumes in place)
+RUN=$(ls -dt output/train/e2e_band* 2>/dev/null | head -1)
 CFG=configs/e2e_band_800.yaml
 echo "post_e2e_band starting $(date -u)" >> "$LOG"
 PID=$(cat /tmp/e2e_train.pid 2>/dev/null)

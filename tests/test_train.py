@@ -515,3 +515,26 @@ def test_fused_e2e_multidevice_step(rng):
             for a, b in zip(jax.tree_util.tree_leaves(sb.params[sub]),
                             jax.tree_util.tree_leaves(sb2.params[sub])))
         assert delta > 0, sub
+
+
+def test_resolve_save_dir_resume_in_place(tmp_path):
+    """--restore_path inside the run dir resumes IN PLACE; anything else
+    versions the dir (reference yolo-style increment, utils/common.py:76-86).
+    Regression: a crash-resume used to fork `<name>2` and every later
+    checkpoint landed away from where export/promote tooling looks."""
+    from gims_tpu.cli.train_cli import resolve_save_dir
+
+    run = tmp_path / "e2e_band"
+    (run / "weights" / "last").mkdir(parents=True)
+
+    # fresh name, no restore: used as-is
+    assert resolve_save_dir(tmp_path / "new_run", None) == str(
+        tmp_path / "new_run")
+    # existing dir, no restore: versioned
+    assert resolve_save_dir(run, None) == str(tmp_path / "e2e_band2")
+    # restore from inside the dir: reuse it
+    assert resolve_save_dir(run, str(run / "weights" / "last")) == str(run)
+    # restore from a DIFFERENT run's checkpoint: still versioned
+    other = tmp_path / "other" / "weights" / "last"
+    other.mkdir(parents=True)
+    assert resolve_save_dir(run, str(other)) == str(tmp_path / "e2e_band2")
