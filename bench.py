@@ -15,7 +15,7 @@ the dense_gray weights exist):
   grayscale dense convolutional CAR-HyNet descriptors, band AGC, GNN,
   OT, compact fixed-point readout), two dispatches in flight,
   single-channel uploads paced to <=3 outstanding on a worker thread.
-  ~0.085 s/pair wall on the tunneled v5e (~11.8 pairs/s, ~185x the
+  ~0.080 s/pair wall on the tunneled v5e (~12.5 pairs/s, ~196x the
   reference), 96 timed pairs with per-half rates.
 - staged: api.Matching — host SIFT detect overlapped on a worker thread
   with the device frontend + matcher (~1.2 s/pair; the host's single CPU
