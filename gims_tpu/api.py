@@ -119,6 +119,14 @@ class Matching:
                 fe_cfg = dataclasses.replace(
                     fe_cfg, detector=config["detector"]
                 )
+            if config.get("sift_descriptor"):
+                fe_cfg = dataclasses.replace(
+                    fe_cfg, sift_descriptor=config["sift_descriptor"]
+                )
+            if config.get("sift_samples"):
+                fe_cfg = dataclasses.replace(
+                    fe_cfg, sift_samples=int(config["sift_samples"])
+                )
         self.frontend = frontend or FeatureFrontend(fe_cfg)
         self.timings = {}
 

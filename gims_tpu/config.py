@@ -151,7 +151,20 @@ class FrontendConfig:
     # pretrained car_hynet.pth (absent here), and a faster host-only path.
     # "dense" = convolutional CAR-HyNet over pyramid levels + bilinear
     # descriptor sampling (frontend/dense.py) — no per-keypoint patch warp.
+    # "devsift" (fused path) = SIFT descriptors computed ON the TPU from
+    # the detection gray pyramid (frontend/sift_descriptor.py) — the
+    # speed path for SIFT-descriptor-trained weights.
     descriptor_source: str = "carhynet"
+    # Sample-grid side S for the device SIFT descriptor: S^2 rotated-frame
+    # samples per keypoint (S/5 per histogram bin axis). 16 matches cv2
+    # descriptors to ~0.998 mean cosine; 12 trades ~0.002 for 1.8x fewer
+    # gather rows (tests/test_sift_descriptor.py).
+    sift_samples: int = 16
+    # Descriptor engine for the staged detector="device" +
+    # descriptor_source="sift" config: "host" = cv2.SIFT.compute at the
+    # device-detected keypoints (~0.8 s/image on this host's single
+    # core); "device" = frontend/sift_descriptor.py on the TPU.
+    sift_descriptor: str = "host"
     # Compute dtype for the dense convolutional descriptor path. The dense
     # CAR-HyNet pass is the dominant extraction cost (~200 ms/side in f32
     # at 800x600); bf16 runs the convs at MXU rate with f32-accumulated

@@ -8,6 +8,7 @@ CAR-HyNet descriptors, and the reference's 128->256 duplication
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -31,6 +32,14 @@ def _normalize_duplicate(raw_u8):
     norm = jnp.linalg.norm(d, axis=1, keepdims=True)
     d = d / jnp.maximum(norm, 1e-12)
     return jnp.concatenate([d, d], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _gray_pyr_jit(img_u8, h, w, blur):
+    """Detection gray pyramid as one program (device SIFT descriptors)."""
+    from gims_tpu.frontend.detect_device import gray_pyramid
+
+    return gray_pyramid(img_u8, h, w, blur, True)
 
 
 class FeatureFrontend:
@@ -142,13 +151,16 @@ class FeatureFrontend:
 
         t0 = time.perf_counter()
         host_desc = None
+        dev_sift = False
         if self.cfg.descriptor_source == "sift":
             if self.cfg.detector == "device" and not train_topup:
                 # middle ground (VERDICT r2 item 7): device DoG detection
                 # (the host detect is the staged path's ~0.24 s/image
-                # single-core ceiling) + host cv2 SIFT descriptors at the
-                # detected keypoints — stays compatible with the
-                # SIFT-descriptor-trained weights.
+                # single-core ceiling) + SIFT descriptors at the detected
+                # keypoints — stays compatible with the SIFT-descriptor-
+                # trained weights. cfg.sift_descriptor picks the engine:
+                # "host" = cv2.SIFT.compute (~0.8 s/image on one core),
+                # "device" = frontend/sift_descriptor.py on the TPU.
                 from gims_tpu.frontend.detect_device import detect_device
                 from gims_tpu.frontend.sift import (
                     arrays_to_keypoints,
@@ -162,12 +174,16 @@ class FeatureFrontend:
                     image_bgr, mk, self.cfg.contrast_threshold,
                     self.cfg.edge_threshold,
                 )
-                kps_cv, host_desc = make_sift(self.cfg).compute(
-                    image_bgr, arrays_to_keypoints(kp_dev))
-                if host_desc is None:
-                    host_desc = np.zeros((0, 128), np.float32)
-                host_desc = host_desc.astype(np.uint8)
-                kp = keypoints_to_arrays(kps_cv)
+                if self.cfg.sift_descriptor == "device":
+                    kp = kp_dev
+                    dev_sift = True
+                else:
+                    kps_cv, host_desc = make_sift(self.cfg).compute(
+                        image_bgr, arrays_to_keypoints(kp_dev))
+                    if host_desc is None:
+                        host_desc = np.zeros((0, 128), np.float32)
+                    host_desc = host_desc.astype(np.uint8)
+                    kp = keypoints_to_arrays(kps_cv)
             else:
                 kp, host_desc = detect_and_describe(
                     image_bgr, self.cfg, max_keypoints, train_topup, rng
@@ -193,7 +209,23 @@ class FeatureFrontend:
                 host_desc = host_desc[:nb]
             n = nb
         t1 = time.perf_counter()
-        if host_desc is not None:
+        if dev_sift:
+            from gims_tpu.frontend.detect_device import (
+                _blur_cache,
+                build_gray_blur,
+            )
+            from gims_tpu.frontend.sift_descriptor import describe_device
+
+            h, w = image_bgr.shape[:2]
+            if (h, w) not in _blur_cache:
+                _blur_cache[(h, w)] = build_gray_blur(h, w)
+            pyr = _gray_pyr_jit(jnp.asarray(image_bgr), h, w,
+                                _blur_cache[(h, w)])
+            t2 = time.perf_counter()
+            desc128 = describe_device(pyr, kp, nb, self.cfg.sift_samples)
+            desc256 = _normalize_duplicate(desc128)
+            t3 = time.perf_counter()
+        elif host_desc is not None:
             pad = np.zeros((nb, 128), np.uint8)
             pad[:n] = host_desc
             t2 = time.perf_counter()

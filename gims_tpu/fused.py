@@ -160,6 +160,7 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
     image (3x less host->device traffic). Weights are trained in-repo
     against this exact geometry."""
     gray_desc = dense_model is not None and fe.descriptor_source == "dense_gray"
+    devsift = fe.descriptor_source == "devsift"
     octs_gray = gray_pyramid(image_u8, h, w, blur, fe.upsample)
     if dense_model is not None and fe.dense_dtype != "float32":
         ddt = jnp.dtype(fe.dense_dtype)
@@ -198,6 +199,10 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
                 [octs_gray[o][l] for l in fe.dense_layers]
             )[..., None].astype(ddt) / 255.0
             gray_maps[o] = dense_apply(car_variables, levels)
+    elif devsift:
+        # SIFT descriptors come straight off the detection gray pyramid —
+        # no color pyramid, no CNN (frontend/sift_descriptor.py).
+        octs_color = None
     else:
         base = upsample2x(image_u8.astype(jnp.float32))
         n_layers = N_OCTAVE_LAYERS + 1 if dense_model is not None else None
@@ -256,6 +261,43 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
             patches = _dense_sample(
                 maps3, px, py, layer, valid.astype(jnp.float32)
             )  # (k_sel, D) descriptors directly
+        elif devsift:
+            from gims_tpu.frontend.sift_descriptor import (
+                DESC_CHUNK,
+                _descr_chunk,
+                grad_levels,
+            )
+
+            gq = quad_rows_from_levels(grad_levels(gauss))
+            lvh, lvw = int(gauss.shape[1]), int(gauss.shape[2])
+            scl = size_oct * 0.5
+            lvi = (layer - 1).astype(jnp.int32)
+            validf = valid.astype(jnp.float32)
+            nchunks = -(-k_sel // DESC_CHUNK)
+            pad_to = nchunks * DESC_CHUNK
+            if pad_to != k_sel:
+                p = pad_to - k_sel
+                lvi = jnp.pad(lvi, (0, p))
+                px_p = jnp.pad(px, (0, p))
+                py_p = jnp.pad(py, (0, p))
+                scl_p = jnp.pad(scl, (0, p), constant_values=1.0)
+                ang_p = jnp.pad(ang, (0, p))
+                val_p = jnp.pad(validf, (0, p))
+            else:
+                px_p, py_p, scl_p, ang_p, val_p = px, py, scl, ang, validf
+            chunks = []
+            for i in range(nchunks):
+                s = slice(i * DESC_CHUNK, (i + 1) * DESC_CHUNK)
+                chunks.append(_descr_chunk(
+                    gq, lvh, lvw, lvi[s], px_p[s], py_p[s], scl_p[s],
+                    ang_p[s], val_p[s], fe.sift_samples,
+                ))
+            raw = jnp.concatenate(chunks, axis=0)[:k_sel]
+            # unit-norm 128-d — what the SIFT-descriptor-trained matcher
+            # weights consume (feature.py _normalize_duplicate)
+            nrm = jnp.sqrt(
+                jnp.sum(jnp.square(raw), axis=-1, keepdims=True) + 1e-10)
+            patches = raw / nrm
         else:
             ainv = _device_inverse_affines(px, py, size_oct, ang, warp)
             quads = quad_rows_from_levels(octs_color[o])
@@ -298,7 +340,7 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
     valid = jnp.concatenate(va_list)
     patches = jnp.concatenate(patch_list)      # (total, 32*32*3) or (total, D)
 
-    if dense_model is not None:
+    if dense_model is not None or devsift:
         desc128 = patches
     else:
         desc128 = car_model.apply(
@@ -459,32 +501,42 @@ class FusedMatching:
             upsample=bool(config.get("upsample", True)),
             dense_layers=tuple(config.get("dense_layers", (1, 2, 3))),
             dense_first_map_oct=int(config.get("dense_first_map_oct", 0)),
+            sift_samples=int(config.get("sift_samples", 16)),
         )
-        if not self.fe.upsample and self.fe.descriptor_source != "dense_gray":
+        if not self.fe.upsample and self.fe.descriptor_source not in (
+                "dense_gray", "devsift"):
             raise ValueError("upsample=False requires descriptor_source="
-                             "'dense_gray' (the color pyramid paths assume "
-                             "the 2x-upsampled octave geometry)")
+                             "'dense_gray' or 'devsift' (the color pyramid "
+                             "paths assume the 2x-upsampled octave geometry)")
         self.total = total_keypoints
         if variables is None:
             variables = init_gmatcher_variables(
                 self.mcfg, seed, scheme=config.get("init_scheme", "default")
             )
         self.variables = jax.device_put(variables)
-        in_ch = 1 if self.fe.descriptor_source == "dense_gray" else 3
-        self.car_model = CARHyNet(in_channels=in_ch)
-        self.dense_model = (
-            CARHyNet(dense=True, in_channels=in_ch)
-            if self.fe.descriptor_source in ("dense", "dense_gray") else None
-        )
-        if car_variables is None:
-            if in_ch == 1:
-                car_variables = self.car_model.init(
-                    jax.random.PRNGKey(seed),
-                    jnp.zeros((1, 32, 32, 1), jnp.float32),
-                )
-            else:
-                car_variables = DescriptorEngine(seed=seed).variables
-        self.car_variables = jax.device_put(car_variables)
+        if self.fe.descriptor_source == "devsift":
+            # descriptors come from the gray pyramid's gradients — no CNN
+            self.car_model = None
+            self.dense_model = None
+            self.car_variables = car_variables if car_variables is not None \
+                else {}
+        else:
+            in_ch = 1 if self.fe.descriptor_source == "dense_gray" else 3
+            self.car_model = CARHyNet(in_channels=in_ch)
+            self.dense_model = (
+                CARHyNet(dense=True, in_channels=in_ch)
+                if self.fe.descriptor_source in ("dense", "dense_gray")
+                else None
+            )
+            if car_variables is None:
+                if in_ch == 1:
+                    car_variables = self.car_model.init(
+                        jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 32, 32, 1), jnp.float32),
+                    )
+                else:
+                    car_variables = DescriptorEngine(seed=seed).variables
+            self.car_variables = jax.device_put(car_variables)
         self.compact_transport = bool(config.get("compact_transport", True))
         # trunk bucket after AGC kept-compaction (None = no compaction).
         # At the eval knobs AGC keeps ~half the detection budget, so
@@ -549,7 +601,8 @@ class FusedMatching:
             "total_keypoints": self.total,
             "compact_to": self.compact_to,
             "compact_transport": self.compact_transport,
-            "descriptor_in_channels": self.car_model.in_channels,
+            "descriptor_in_channels": (
+                self.car_model.in_channels if self.car_model else None),
             "dense_model": self.dense_model is not None,
         }
 
