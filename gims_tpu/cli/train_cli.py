@@ -59,6 +59,12 @@ def main(argv=None):
     parser.add_argument("--limit", type=int, default=-1)
     parser.add_argument("--devices", type=int, default=1,
                         help="data-parallel device count (mesh over ICI)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host DP: process-0 'host:port' for "
+                             "jax.distributed.initialize (one launch per "
+                             "host; mesh spans every host's devices)")
+    parser.add_argument("--num_processes", type=int, default=1)
+    parser.add_argument("--process_id", type=int, default=0)
     parser.add_argument("--max_steps", type=int, default=-1)
     parser.add_argument("--carhynet_weights", type=str, default=None)
     parser.add_argument("--restore_path", type=str, default=None)
@@ -132,6 +138,13 @@ def main(argv=None):
             ),
         ])
 
+    multihost = args.coordinator is not None
+    if multihost:
+        from gims_tpu.train import multihost as mh_mod
+
+        mh_mod.initialize(args.coordinator, args.num_processes,
+                          args.process_id)
+
     train(cfg, train_dataset=train_dataset, save_dir=save_dir,
           limit=args.limit,
           n_devices=args.devices, carhynet_weights=args.carhynet_weights,
@@ -139,7 +152,7 @@ def main(argv=None):
           restore_path=args.restore_path,
           cache_features=args.cache_features,
           init_weights=args.init_weights,
-          fused_e2e=args.fused_e2e)
+          fused_e2e=args.fused_e2e, multihost=multihost)
 
 
 if __name__ == "__main__":

@@ -172,7 +172,7 @@ class CocoPairDataset:
         if limit and limit > 0:
             files = files[:limit]
         self.files = files
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.files)
@@ -181,7 +181,11 @@ class CocoPairDataset:
         path = os.path.join(self.images_path, self.files[index])
         flag = cv2.IMREAD_COLOR if self.color else cv2.IMREAD_GRAYSCALE
         image = cv2.imread(path, flag)
-        return make_pair(image, self.cfg, self.rng)
+        # per-INDEX rng (not a shared per-access stream): sample i is the
+        # same pair no matter which process or in which order it is read
+        # — required for multihost batch sharding (train/multihost.py)
+        rng = np.random.RandomState(self.seed * 100003 + 59 + index)
+        return make_pair(image, self.cfg, rng)
 
 
 class ImageFolderPairDataset:
@@ -224,7 +228,8 @@ class ImageFolderPairDataset:
         crop = img[y0:y0 + ch, x0:x0 + cw]
         crop = cv2.resize(crop, (self.cfg.image_width, self.cfg.image_height),
                           interpolation=cv2.INTER_AREA)
-        return make_pair(crop, self.cfg, self.rng)
+        # same per-index rng as the crop: sample i is order-independent
+        return make_pair(crop, self.cfg, rng)
 
 
 class MixedPairDataset:
@@ -262,7 +267,8 @@ class SyntheticPairDataset:
         img = rng.randint(0, 255, (h // 4, w // 4, 3)).astype(np.uint8)
         img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
         img = cv2.GaussianBlur(img, (0, 0), 1.0)
-        return make_pair(img, self.cfg, self.rng)
+        # same per-index rng as the texture: sample i is order-independent
+        return make_pair(img, self.cfg, rng)
 
 
 def make_pair(image, cfg: DatasetConfig, rng):

@@ -55,12 +55,27 @@ def extract_batch(frontend: FeatureFrontend, images, max_keypoints, seeds,
     return jnp.stack(kpts), jnp.stack(descs), jnp.stack(valids)
 
 
-def build_batch(frontend, pairs, max_keypoints, rng, pool=None):
+def row_seeds(idxs, base_seed: int) -> np.ndarray:
+    """Per-image topup seeds derived from DATASET indices (orig images
+    first, then warps — the builders' image order). Index-deterministic,
+    so a process building only its shard of a batch draws exactly the
+    seeds the whole-batch build would (multihost == single-process
+    bitwise), and cached batches keep identical noise across epochs."""
+    idxs = np.asarray(idxs, np.int64)
+    out = []
+    for side in (0, 1):
+        out.append((base_seed + 1000003 * idxs + 7919 * side)
+                   % (2**31 - 1))
+    return np.concatenate(out).astype(np.int64)
+
+
+def build_batch(frontend, pairs, max_keypoints, rng, pool=None, seeds=None):
     """pairs: list of (orig, warped, H) -> train-step batch dict."""
     origs = [p[0] for p in pairs]
     warps = [p[1] for p in pairs]
     Hs = np.stack([p[2] for p in pairs])
-    seeds = rng.randint(0, 2**31 - 1, size=2 * len(pairs))
+    if seeds is None:
+        seeds = rng.randint(0, 2**31 - 1, size=2 * len(pairs))
     half = len(pairs)
     kpA, deA, vaA = extract_batch(frontend, origs + warps, max_keypoints,
                                   seeds, pool)
@@ -93,14 +108,16 @@ def build_batch(frontend, pairs, max_keypoints, rng, pool=None):
     }
 
 
-def build_batch_raw(fe_cfg, pairs, max_keypoints, rng, pool=None):
+def build_batch_raw(fe_cfg, pairs, max_keypoints, rng, pool=None,
+                    seeds=None):
     """Host-only batch builder for the fused SIFT train step: detect +
     describe on the host, pad, and ship four arrays; normalization and GT
     matching happen inside the jitted step (train/step.py)."""
     from gims_tpu.frontend.sift import detect_and_describe
 
     images = [p[0] for p in pairs] + [p[1] for p in pairs]
-    seeds = rng.randint(0, 2**31 - 1, size=len(images))
+    if seeds is None:
+        seeds = rng.randint(0, 2**31 - 1, size=len(images))
     nb = max_keypoints
 
     def one(args):
@@ -184,9 +201,28 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
           max_steps: int = -1, fast_frontend: bool = False,
           restore_path: Optional[str] = None, cache_features: bool = False,
           init_weights: Optional[str] = None, fused_e2e: bool = False,
-          log_fn=print):
-    """Main loop. Returns the final TrainState."""
+          multihost: bool = False, log_fn=print):
+    """Main loop. Returns the final TrainState.
+
+    multihost=True: the process has joined a global runtime
+    (multihost.initialize, one process per host). The data mesh spans
+    EVERY process's devices, each process materializes only its own rows
+    of each global batch (train/multihost.py process_batch_slice — the
+    DistributedSampler analog, reference: train.py:66), and logging /
+    checkpoints / validation run on process 0 only (the reference's
+    rank-0 convention, train.py:34)."""
     tcfg = cfg.train
+    mh = None
+    is_main = True
+    if multihost:
+        from gims_tpu.train import multihost as mh
+
+        if fused_e2e:
+            raise NotImplementedError("multihost fused_e2e not wired yet")
+        n_devices = jax.device_count()
+        is_main = mh.is_main()
+        if not is_main:
+            log_fn = lambda *a, **k: None  # noqa: E731
     if fast_frontend:
         cfg = dataclasses.replace(
             cfg,
@@ -197,10 +233,13 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     save_dir = Path(save_dir or os.path.join(tcfg.output_dir, tcfg.experiment_name))
     weight_dir = save_dir / "weights"
     weight_dir.mkdir(parents=True, exist_ok=True)
-    results_file = open(save_dir / "results.txt", "a")
+    # non-main processes write to the bit bucket (rank-0 logging parity)
+    results_file = open(
+        save_dir / "results.txt" if is_main else os.devnull, "a")
     # structured metrics stream (the reference's optional wandb logging,
     # train.py:153-154, without the cloud dependency)
-    metrics_file = open(save_dir / "metrics.jsonl", "a")
+    metrics_file = open(
+        save_dir / "metrics.jsonl" if is_main else os.devnull, "a")
 
     np.random.seed(tcfg.init_seed)
     rng = np.random.RandomState(tcfg.init_seed)
@@ -342,7 +381,13 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     elif n_devices > 1:
         from jax.sharding import Mesh
 
-        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+        if multihost:
+            # mesh over EVERY process's devices; the state becomes an
+            # explicitly replicated global array (DDP broadcast analog)
+            mesh = mh.global_mesh()
+            state = mh.replicate(mesh, state)
+        else:
+            mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
         step_fn = step_mod.make_distributed_train_step(
             cfg, tx, image_shape, mesh
         )
@@ -382,20 +427,27 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     batch_cache = {} if cache_features else None
 
     def make_batch(idxs):
+        if multihost:
+            # every process sees the same global order (same seed) and
+            # materializes only its own contiguous rows
+            idxs = idxs[mh.process_batch_slice(len(idxs))]
         key = tuple(int(i) for i in idxs) if cache_features else None
         if batch_cache is not None and key in batch_cache:
             return batch_cache[key], 0.0, 0.0
         t1 = time.time()
         pairs = [train_dataset[int(i)] for i in idxs]
         t2 = time.time()
+        seeds = row_seeds(idxs, tcfg.init_seed)
         if fused_e2e:
             batch = build_batch_e2e(pairs)
         elif fused_sift:
             batch = build_batch_raw(cfg.frontend, pairs, tcfg.max_keypoints,
-                                    rng, pool=side_pool)
+                                    rng, pool=side_pool, seeds=seeds)
         else:
             batch = build_batch(frontend, pairs, tcfg.max_keypoints, rng,
-                                pool=side_pool)
+                                pool=side_pool, seeds=seeds)
+        if multihost:
+            batch = mh.globalize_batch(mesh, batch)
         if batch_cache is not None:
             batch_cache[key] = batch
         return batch, t2 - t1, time.time() - t2
@@ -467,6 +519,11 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
             if (it + 1) % flush_every == 0 or it + 1 == num_batches \
                     or (0 < max_steps <= global_step + 1):
                 flush_pending()
+                # multihost: orbax saves are COLLECTIVE (every process
+                # calls save into the shared run dir; orbax coordinates
+                # and the primary host writes the replicated arrays).
+                # Both conditions below are lockstep across processes —
+                # counters are shared and mloss is pmean-reduced.
                 ckpt_state = None
                 if (it + 1) % tcfg.lastiter_every < flush_every:
                     ckpt_state = _ckpt_payload(state, epoch, it)
@@ -484,27 +541,49 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
             if 0 < max_steps <= global_step:
                 break
 
-        # per-epoch validation with the EMA (or raw) weights
-        eval_params = state.ema_params if state.ema_params is not None else state.params
-        if fused_e2e:
-            m_vars, c_vars = fstep_mod.split_joint(
-                eval_params, state.batch_stats)
-            fused_eval.variables = jax.device_put(m_vars)
-            fused_eval.car_variables = jax.device_put(c_vars)
-        else:
-            eval_matcher.variables = {
-                "params": eval_params, "batch_stats": state.batch_stats,
-            }
-        results = test_model(
-            eval_matcher, val_dataset, tcfg.val_images_count,
-            agc={"radius": cfg.agc.radius, "percentile": cfg.agc.percentile,
-                 "min_size": cfg.agc.min_size},
-        )
-        log_fn(f"Validation: {results}")
+        # per-epoch validation with the EMA (or raw) weights. Multihost:
+        # the host-driven eval runs on process 0 only (the reference's
+        # rank-0 test_model convention, train.py:169-184) and the score
+        # is broadcast so every process takes the same best-checkpoint
+        # branch; the orbax saves below are collective.
+        run_val = not (multihost and not is_main)
+        score = 0.0
+        if run_val:
+            eval_params = (state.ema_params if state.ema_params is not None
+                           else state.params)
+            if multihost:
+                # global replicated arrays -> host numpy for the
+                # single-device eval program
+                eval_params = jax.tree_util.tree_map(np.asarray, eval_params)
+            if fused_e2e:
+                m_vars, c_vars = fstep_mod.split_joint(
+                    eval_params, state.batch_stats)
+                fused_eval.variables = jax.device_put(m_vars)
+                fused_eval.car_variables = jax.device_put(c_vars)
+            else:
+                eval_matcher.variables = {
+                    "params": eval_params,
+                    "batch_stats": (
+                        jax.tree_util.tree_map(np.asarray, state.batch_stats)
+                        if multihost else state.batch_stats),
+                }
+            results = test_model(
+                eval_matcher, val_dataset, tcfg.val_images_count,
+                agc={"radius": cfg.agc.radius,
+                     "percentile": cfg.agc.percentile,
+                     "min_size": cfg.agc.min_size},
+            )
+            log_fn(f"Validation: {results}")
+            score = float(results["weight_score"])
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            score = float(multihost_utils.broadcast_one_to_all(
+                np.float32(score)))
         ckpt_state = _ckpt_payload(state, epoch, -1)
         ckpt_io.save_orbax(str(weight_dir / "last"), ckpt_state)
-        if results["weight_score"] > best_val_score:
-            best_val_score = results["weight_score"]
+        if score > best_val_score:
+            best_val_score = score
             log_fn(f"Saving best model at epoch {epoch} "
                    f"with score {best_val_score}")
             ckpt_io.save_orbax(str(weight_dir / "best"), ckpt_state)
@@ -514,6 +593,13 @@ def train(cfg: GIMSConfig, train_dataset=None, val_dataset=None,
     side_pool.shutdown(wait=False)
     results_file.close()
     metrics_file.close()
+    if multihost:
+        # keep processes in lockstep through process-0-only epilogue work
+        # (validation/checkpoints): an early exit would trip the runtime's
+        # shutdown barrier while process 0 is still evaluating
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("gims_train_end")
     return state
 
 

@@ -59,7 +59,11 @@ def main():
     from gims_tpu.matcher import pipeline, sinkhorn
     from gims_tpu.matcher.gmatcher import GMatcher, normalize_keypoints
 
-    nb, nv = args.bucket, args.n_valid
+    # clamp the valid count to the bucket: --bucket 6144 with the default
+    # --n_valid 11000 must profile a full bucket, not crash (VERDICT r4
+    # weak #5 — the r4 operating-point profile silently failed here)
+    nb = args.bucket
+    nv = min(args.n_valid, nb)
     mcfg = MatcherConfig(
         sinkhorn_iterations=20, match_threshold=0.02,
         attention_dtype="bfloat16", use_pallas_sinkhorn=True,

@@ -28,11 +28,17 @@ def main():
     ap.add_argument("--resize", type=int, nargs=2, default=[800, 600])
     ap.add_argument("--agc", type=float, nargs=3, default=[15, 2, 7])
     ap.add_argument("--descriptor_source", default="sift",
-                    choices=["sift", "carhynet", "dense", "dense_gray"])
+                    choices=["sift", "carhynet", "dense", "dense_gray",
+                             "devsift"])
     ap.add_argument("--detector", default="host",
                     choices=["host", "device"],
                     help="staged-path keypoint detector: host cv2 SIFT "
                          "(parity) or the on-TPU DoG detector")
+    ap.add_argument("--sift_descriptor", default="host",
+                    choices=["host", "device"],
+                    help="staged detector=device SIFT-descriptor engine: "
+                         "host cv2.SIFT.compute or the on-TPU kernel "
+                         "(frontend/sift_descriptor.py)")
     ap.add_argument("--car_weights", default=None,
                     help="trained descriptor-CNN npz for the fused path "
                          "(the _car.npz sibling of a joint e2e export)")
@@ -121,6 +127,7 @@ def main():
             "max_keypoints": args.max_keypoints,
             "descriptor_source": args.descriptor_source,
             "detector": args.detector,
+            "sift_descriptor": args.sift_descriptor,
         })
 
     regimes = {
@@ -184,6 +191,8 @@ def main():
         tag += "_fo0"
     if not args.fused and args.detector == "device":
         tag += "_devdet"
+    if not args.fused and args.sift_descriptor == "device":
+        tag += "_devdesc"
     rec = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "quality_records",
