@@ -36,6 +36,13 @@ def resolve_save_dir(base, restore_path):
             restore = Path(restore_path).resolve()
             if restore.is_relative_to(base.resolve()):
                 return str(base)
+            # also resume in place inside an already-versioned sibling
+            # (--name e2e --restore_path output/train/e2e2/weights/last
+            # must continue in e2e2, not fork e2e3 — ADVICE r4)
+            for sib in sorted(base.parent.glob(base.name + "*")):
+                if (re.fullmatch(re.escape(base.name) + r"\d+", sib.name)
+                        and restore.is_relative_to(sib.resolve())):
+                    return str(sib)
         except (OSError, ValueError):
             pass
     return increment_path(base, exist_ok=False)

@@ -259,8 +259,71 @@ def run_benchmark(
     return results
 
 
+def make_structured_image(rng, height: int, width: int) -> np.ndarray:
+    """Procedural scene with PHOTOGRAPHIC keypoint statistics — layered
+    shaded shapes, soft shadows, multi-scale texture, vignetting — for a
+    held-out-by-construction eval regime (VERDICT r4 missing #5: the
+    photos regime reuses training images; resized noise is not a
+    substitute because its SIFT statistics differ). Nothing resembling
+    these compositions appears in any training set (training uses noise
+    textures and assets/photos)."""
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    gx, gy = rng.uniform(-1, 1, 2)
+    base = 110 + 60 * (gx * xx / width + gy * yy / height)
+    img = np.repeat(base[:, :, None], 3, axis=2)
+    img += rng.uniform(-18, 18, (1, 1, 3))
+    img = img.astype(np.float32)
+
+    for _ in range(rng.randint(25, 55)):
+        layer = np.zeros((height, width, 3), np.float32)
+        color = rng.uniform(30, 225, 3)
+        kind = rng.randint(3)
+        cx, cy = rng.randint(0, width), rng.randint(0, height)
+        if kind == 0:
+            ax_, bx_ = rng.randint(8, width // 3), rng.randint(8, height // 3)
+            cv2.ellipse(layer, (cx, cy), (ax_, bx_), rng.uniform(0, 180),
+                        0, 360, color.tolist(), -1, cv2.LINE_AA)
+        elif kind == 1:
+            npts = rng.randint(3, 7)
+            r = rng.randint(10, min(height, width) // 3)
+            ang = rng.uniform(0, 2 * np.pi, npts)
+            ang.sort()
+            pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)],
+                           axis=1).astype(np.int32)
+            cv2.fillPoly(layer, [pts], color.tolist(), cv2.LINE_AA)
+        else:
+            w2, h2 = rng.randint(10, width // 3), rng.randint(10, height // 3)
+            cv2.rectangle(layer, (cx - w2 // 2, cy - h2 // 2),
+                          (cx + w2 // 2, cy + h2 // 2), color.tolist(), -1,
+                          cv2.LINE_AA)
+        mask = layer.sum(axis=2) > 0
+        # per-shape linear shading + occasional fine texture
+        shade = 1.0 + 0.35 * ((xx - cx) / width * rng.uniform(-1, 1)
+                              + (yy - cy) / height * rng.uniform(-1, 1))
+        layer *= shade[:, :, None]
+        if rng.rand() < 0.4:
+            tex = rng.randn(height // 4, width // 4, 1).astype(np.float32)
+            tex = cv2.resize(tex, (width, height))[:, :, None]
+            layer += 14.0 * tex * mask[:, :, None]
+        # soft drop shadow: darken under a shifted copy of the mask
+        sh = np.roll(mask.astype(np.float32),
+                     (rng.randint(3, 9), rng.randint(3, 9)), (0, 1))
+        sh = cv2.GaussianBlur(sh, (0, 0), 3.0)
+        img *= (1.0 - 0.25 * sh)[:, :, None]
+        a = rng.uniform(0.75, 1.0)
+        img = np.where(mask[:, :, None], (1 - a) * img + a * layer, img)
+
+    # vignette + fine grain + mild blur (sensor-ish statistics)
+    r2 = (((xx - width / 2) / width) ** 2 + ((yy - height / 2) / height) ** 2)
+    img *= (1.0 - 0.35 * r2)[:, :, None]
+    img += rng.randn(height, width, 3) * 2.0
+    img = cv2.GaussianBlur(img, (0, 0), 0.8)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def generate_benchmark(out_dir: str, n_pairs=50, source_dir=None,
-                       height=600, width=800, seed=3):
+                       height=600, width=800, seed=3,
+                       style: str = "noise"):
     """Create a deterministic benchmark set with the reference's file
     contract (reference: generate_pairs.py).
 
@@ -281,6 +344,8 @@ def generate_benchmark(out_dir: str, n_pairs=50, source_dir=None,
         if source:
             img = cv2.imread(str(source[i % len(source)]))
             img = cv2.resize(img, (width, height))
+        elif style == "structured":
+            img = make_structured_image(rng, height, width)
         else:
             img = rng.randint(0, 255, (height // 4, width // 4, 3)).astype(np.uint8)
             img = cv2.resize(img, (width, height), interpolation=cv2.INTER_CUBIC)

@@ -10,9 +10,19 @@
 # stays a separate decision after reading the table.
 cd /root/repo || exit 1
 LOG=/tmp/post_e2e_band.log
-# newest e2e_band* run dir (a pre-fix crash-resume may have forked
-# e2e_band2; train_cli.resolve_save_dir now resumes in place)
-RUN=$(ls -dt output/train/e2e_band* 2>/dev/null | head -1)
+# canonical run dir first; fall back to the newest versioned sibling
+# only when the canonical dir has no checkpoints (ADVICE r4: newest
+# mtime can select a stale pre-fix fork over the in-place run)
+RUN=""
+if [ -d output/train/e2e_band/weights/last ]; then
+  RUN=output/train/e2e_band
+else
+  RUN=$(ls -dt output/train/e2e_band* 2>/dev/null | head -1)
+fi
+if [ -z "$RUN" ]; then
+  echo "no e2e_band run dir found; aborting" >> /tmp/post_e2e_band.log
+  exit 1
+fi
 CFG=configs/e2e_band_800.yaml
 echo "post_e2e_band starting $(date -u)" >> "$LOG"
 PID=$(cat /tmp/e2e_train.pid 2>/dev/null)

@@ -12,6 +12,22 @@ for i in $(seq 1 "$MAX_PROBES"); do
     echo "TPU up after $i probes at $(date -u)" >> /tmp/e2e_resume.log
     OLD=$(cat /tmp/e2e_train.pid 2>/dev/null)
     if [ -n "$OLD" ] && kill -0 "$OLD" 2>/dev/null; then
+      # Only kill a process that (a) is actually the training run — the
+      # pidfile may be stale and the PID reused — and (b) is actually
+      # hung: its log mtime stalled > 5 min (ADVICE r4: the first probe
+      # can succeed while training is healthy; killing it loses progress
+      # since the last checkpoint).
+      if ! grep -qs "train.py" "/proc/$OLD/cmdline"; then
+        echo "pid $OLD is not train.py (stale pidfile); not killing" \
+          >> /tmp/e2e_resume.log
+        exit 0
+      fi
+      LOG_AGE=$(( $(date +%s) - $(stat -c %Y /tmp/e2e_band_train.log 2>/dev/null || echo 0) ))
+      if [ "$LOG_AGE" -lt 300 ]; then
+        echo "pid $OLD alive and logging (${LOG_AGE}s ago); not killing" \
+          >> /tmp/e2e_resume.log
+        exit 0
+      fi
       kill "$OLD" 2>/dev/null
       sleep 5
       kill -9 "$OLD" 2>/dev/null
