@@ -95,11 +95,14 @@ def load_variables(name):
     return None
 
 
-def _time_fused(matcher, pairs, gray, n_warmup=2, batch=1):
+def _time_fused(matcher, pairs, gray, n_warmup=2, batch=1, depth=2):
     """Warm up on the first n_warmup pairs (batches when batch>1), time
-    the rest with uploads on a worker thread and two dispatches in
+    the rest with uploads on a worker thread and `depth` dispatches in
     flight. batch>1 stacks B pairs per program dispatch — one tunnel RPC
-    and higher MXU occupancy per B pairs."""
+    and higher MXU occupancy per B pairs. depth bounds peak HBM: each
+    in-flight execution holds its own temp buffers (the upsampled devsift
+    program's temps are big enough that three in flight OOM-crash the
+    worker; depth=1 there)."""
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
@@ -153,7 +156,7 @@ def _time_fused(matcher, pairs, gray, n_warmup=2, batch=1):
                 fut = up.popleft()
                 inflight.append(matcher.dispatch_batch(*fut.result()))
                 submit_next()
-                while len(inflight) > 2:
+                while len(inflight) > depth:
                     for pred in matcher.collect_batch(inflight.popleft()):
                         total_matches += int((pred["matches0"][0] > -1).sum())
                     marks.append(time.perf_counter() - t0)
@@ -176,7 +179,7 @@ def _time_fused(matcher, pairs, gray, n_warmup=2, batch=1):
               for p in timed]
         for fut in up:
             inflight.append(matcher.dispatch(*fut.result()))
-            while len(inflight) > 2:
+            while len(inflight) > depth:
                 pred = matcher.collect(inflight.popleft())
                 total_matches += int((pred["matches0"][0] > -1).sum())
         while inflight:
@@ -208,6 +211,17 @@ def run_fused(pairs):
     # trained end-to-end at THIS exact geometry (configs/
     # e2e_fo0_800.yaml); quality at these knobs is recorded in
     # docs/quality_records/ and the README tables.
+    # GIMS_BENCH_DESC=devsift times the fused on-TPU SIFT-descriptor
+    # configuration (frontend/sift_descriptor.py + SIFT-trained matcher
+    # weights) — the config whose 199-pair record beats the reference's
+    # published REAL-PHOTO row on every metric
+    # (docs/quality_records/fused_devsift_*_n199.json: photos AUC
+    # 84.21/89.63/93.97, P 35.81, R 82.71 vs reference
+    # 76.44/85.52/91.47, P 35.42, R 76.76). Same geometry as that
+    # record: upsampled pyramid (firstOctave=-1), 12288-keypoint budget,
+    # AGC-kept compaction to 6144.
+    if os.environ.get("GIMS_BENCH_DESC", "") == "devsift":
+        return _run_fused_devsift()
     car_variables = None
     variables = load_variables("gims_tpu_dense_gray_e2e.npz")
     source = "dense_gray"
@@ -291,6 +305,56 @@ def run_fused(pairs):
     if photo_pairs:
         pn, pel, pm, _ = _time_fused(matcher, photo_pairs, gray, n_warmup=1,
                                      batch=batch)
+        extra["photos_pairs_per_sec"] = round(pn / pel, 4)
+        extra["photos_avg_matches"] = pm // max(pn, 1)
+    return n, elapsed, total_matches, extra
+
+
+def _run_fused_devsift():
+    from gims_tpu.fused import FusedMatching
+
+    upsample = os.environ.get("GIMS_BENCH_UPSAMPLE", "1") == "1"
+    kpts = int(os.environ.get("GIMS_BENCH_KPTS", "12288" if upsample
+                              else "6144"))
+    compact = int(os.environ.get("GIMS_BENCH_COMPACT", str(kpts // 2)))
+    matcher = FusedMatching({
+        "sinkhorn_iterations": 20,
+        "match_threshold": 0.02,
+        "attention_dtype": "bfloat16",
+        "use_pallas_sinkhorn": True,
+        "fast_frontend": True,
+        "descriptor_source": "devsift",
+        "upsample": upsample,
+        "compact_to": compact,
+        "radius": 15, "percentile": 2, "min_size": 7,
+    }, variables=load_variables("gims_tpu_sift_last.npz"),
+        total_keypoints=kpts)
+    # batch 4 upsampled: the program is frontend-bound (per-pair work
+    # scales linearly), so halving the batch costs only readout-RPC
+    # amortization (~1%) while halving peak temp memory
+    batch = int(os.environ.get("GIMS_BENCH_BATCH", "4" if upsample
+                               else "8"))
+    nbatch = int(os.environ.get("GIMS_BENCH_NBATCH", "12"))
+    pairs = make_images((2 + nbatch) * batch)
+    # single-channel uploads: devsift runs entirely off the gray
+    # detection pyramid (gray_pyramid accepts (H, W) input). depth=1:
+    # the upsampled program's temps are large enough that 3 in-flight
+    # executions OOM the 16 GB chip.
+    depth = int(os.environ.get("GIMS_BENCH_DEPTH", "1" if upsample else "2"))
+    n, elapsed, total_matches, marks = _time_fused(
+        matcher, pairs, gray=True, batch=batch, depth=depth)
+    extra = {"mode": "fused", "batch": batch, "knob_set": "ref",
+             "descriptor_source": "devsift"}
+    if len(marks) >= 4:
+        half = len(marks) // 2
+        extra["pairs_per_sec_half1"] = round(half * batch / marks[half - 1], 4)
+        extra["pairs_per_sec_half2"] = round(
+            (len(marks) - half) * batch / (marks[-1] - marks[half - 1]), 4)
+    photo_pairs = (make_photo_pairs(3 * batch)
+                   if os.environ.get("GIMS_BENCH_PHOTOS", "1") != "0" else [])
+    if photo_pairs:
+        pn, pel, pm, _ = _time_fused(matcher, photo_pairs, gray=True,
+                                     n_warmup=1, batch=batch, depth=depth)
         extra["photos_pairs_per_sec"] = round(pn / pel, 4)
         extra["photos_avg_matches"] = pm // max(pn, 1)
     return n, elapsed, total_matches, extra

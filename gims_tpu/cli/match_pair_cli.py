@@ -24,7 +24,8 @@ def main(argv=None):
     parser.add_argument("--agc_p", type=float, default=2)
     parser.add_argument("--agc_m", type=int, default=7)
     parser.add_argument("--descriptor_source", type=str, default="carhynet",
-                        choices=["carhynet", "sift", "dense", "dense_gray"])
+                        choices=["carhynet", "sift", "dense", "dense_gray",
+                                 "devsift"])
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--fused", action="store_true",
                         help="single-program pipeline (gims_tpu/fused.py): "
@@ -48,6 +49,7 @@ def main(argv=None):
         matcher = FusedMatching({
             "sinkhorn_iterations": args.sinkhorn_iterations,
             "match_threshold": args.match_threshold,
+            "descriptor_source": args.descriptor_source,
             "radius": args.agc_r, "percentile": args.agc_p,
             "min_size": args.agc_m,
             **({"attention_dtype": "bfloat16", "use_pallas_sinkhorn": True,

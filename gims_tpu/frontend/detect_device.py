@@ -98,15 +98,30 @@ def build_gray_blur(h: int, w: int, upsample: bool = True):
 
     kerns = gray_kernels(upsample)
     bm = BlurMats(kerns)
+    # orientation-map smoothing kernels (sigma = 1.5 * layer scale):
+    # as depthwise convs these dominate the devsift/patch-warp extract
+    # (59 ms/side at the 1600x1200 octave vs 5.7 ms for the WHOLE
+    # pyramid's banded matmuls — scripts/profile_devsift_extract.py);
+    # the same MXU formulation takes them off the critical path.
+    ori_base = len(bm.kernels)
+    bm.kernels.extend(
+        gaussian_kernel_1d(1.5 * SIGMA * 2.0 ** (l / N_OCTAVE_LAYERS))
+        for l in range(1, N_OCTAVE_LAYERS + 1)
+    )
     hh, ww = (2 * h, 2 * w) if upsample else (h, w)
     n_oct = num_octaves(hh, ww)
     oct_mats = []
+    ori_mats = []
     init = (bm.get(hh, 0), bm.get(ww, 0))
     for _o in range(n_oct):
         oct_mats.append([(bm.get(hh, ki), bm.get(ww, ki))
                          for ki in range(1, N_OCTAVE_LAYERS + 3)])
+        ori_mats.append([
+            (bm.get(hh, ori_base + i).astype(jnp.bfloat16),
+             bm.get(ww, ori_base + i).astype(jnp.bfloat16))
+            for i in range(N_OCTAVE_LAYERS)])
         hh, ww = (hh + 1) // 2, (ww + 1) // 2
-    return {"init": init, "oct": oct_mats}
+    return {"init": init, "oct": oct_mats, "ori": ori_mats}
 
 
 def gray_pyramid(image_u8: jnp.ndarray, h: int, w: int, blur=None,
@@ -247,21 +262,40 @@ def _octave_candidates(gauss, contrast_threshold, edge_threshold,
     return out
 
 
-def _orientation_maps(gauss):
+def _orientation_maps(gauss, mats=None):
     """(6, H, W) -> (3, H, W) angle map per detection layer (degrees).
 
     Gaussian-smoothed mean gradient per layer l (sigma = 1.5 * 1.6 *
     2^(l/3), OpenCV's SIFT_ORI_SIG_FCTR times the layer scale), converted
-    with cv2's angle convention: kp.angle = 360 - atan2(dy_up, dx)."""
+    with cv2's angle convention: kp.angle = 360 - atan2(dy_up, dx).
+
+    mats: optional build_gray_blur(...)["ori"][octave] — per-layer
+    (bh, bw) band matrices; the smoothing then runs as MXU matmuls
+    (~10x the depthwise-conv path at the upsampled octave)."""
+    from gims_tpu.frontend.blurmat import sep_blur_matmul
+
     angles = []
     for layer in range(1, N_OCTAVE_LAYERS + 1):
         g = gauss[layer]
         gx = (jnp.roll(g, -1, axis=1) - jnp.roll(g, 1, axis=1)) * 0.5
         gy = (jnp.roll(g, -1, axis=0) - jnp.roll(g, 1, axis=0)) * 0.5
-        sig = 1.5 * SIGMA * (2.0 ** (layer / N_OCTAVE_LAYERS))
-        kern = jnp.asarray(gaussian_kernel_1d(sig))
-        gxs = _sep_blur_hw(gx, kern)
-        gys = _sep_blur_hw(gy, kern)
+        if mats is not None:
+            # bf16 matmuls: the smoothed components only feed atan2 —
+            # bf16's ~0.4% relative error is ~0.2 deg of angle, far under
+            # the descriptor's 45-deg orientation bins — and the halved
+            # temps keep the batched upsampled program inside HBM.
+            bh, bw = mats[layer - 1]
+            bh16 = bh.astype(jnp.bfloat16)
+            bw16 = bw.astype(jnp.bfloat16)
+            gxs = (bh16.T @ gx.astype(jnp.bfloat16) @ bw16)
+            gys = (bh16.T @ gy.astype(jnp.bfloat16) @ bw16)
+            gxs = gxs.astype(jnp.float32)
+            gys = gys.astype(jnp.float32)
+        else:
+            sig = 1.5 * SIGMA * (2.0 ** (layer / N_OCTAVE_LAYERS))
+            kern = jnp.asarray(gaussian_kernel_1d(sig))
+            gxs = _sep_blur_hw(gx, kern)
+            gys = _sep_blur_hw(gy, kern)
         ori = jnp.degrees(jnp.arctan2(-gys, gxs))  # y-up like cv2
         ang = (360.0 - (ori % 360.0)) % 360.0
         angles.append(ang)
@@ -284,7 +318,9 @@ def detect_device_padded(image_u8: jnp.ndarray, h: int, w: int,
 
     vals, attrs = [], []
     for o, gauss in enumerate(octaves):
-        ori = _orientation_maps(gauss)
+        ori = _orientation_maps(
+            gauss, blur["ori"][o]
+            if blur is not None and "ori" in blur else None)
         cand = _octave_candidates(gauss, contrast_threshold, edge_threshold,
                                   ori)
         score = cand["score"].reshape(-1)

@@ -216,7 +216,10 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
     kp_list, sc_list, va_list, patch_list = [], [], [], []
     for o, gauss in enumerate(octs_gray):
         k_o = budgets[o]
-        ori = None if dense_model is not None else _orientation_maps(gauss)
+        ori_mats = (blur["ori"][o]
+                    if blur is not None and "ori" in blur else None)
+        ori = (None if dense_model is not None
+               else _orientation_maps(gauss, ori_mats))
         cand = _octave_candidates(gauss, fe.contrast_threshold,
                                   fe.edge_threshold, ori)
         score = cand["score"].reshape(-1)
@@ -268,7 +271,13 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
                 grad_levels,
             )
 
-            gq = quad_rows_from_levels(grad_levels(gauss))
+            # bf16 gradient table: the descriptor gather is HBM-bandwidth
+            # bound on the (3*(H+1)*(W+1), 8) table (184 MB f32 at the
+            # upsampled octave); gradients of 0..255 images lose ~0.4%
+            # relative — invisible after the descriptor's 0..255
+            # integer quantization (_finalize).
+            gq = quad_rows_from_levels(
+                grad_levels(gauss).astype(jnp.bfloat16))
             lvh, lvw = int(gauss.shape[1]), int(gauss.shape[2])
             scl = size_oct * 0.5
             lvi = (layer - 1).astype(jnp.int32)

@@ -65,9 +65,13 @@ def main():
     g0 = np.stack([cv2.cvtColor(a, cv2.COLOR_BGR2GRAY) for a, _ in pairs])
     g1 = np.stack([cv2.cvtColor(b, cv2.COLOR_BGR2GRAY) for _, b in pairs])
 
+    desc = os.environ.get("GIMS_BENCH_DESC", "dense_gray")
     variables = car_variables = None
-    for name in ("gims_tpu_dense_gray_e2e.npz", "gims_tpu_dense_gray_ft800.npz",
-                 "gims_tpu_dense_gray.npz"):
+    weight_names = (("gims_tpu_sift_last.npz",) if desc == "devsift" else
+                    ("gims_tpu_dense_gray_e2e.npz",
+                     "gims_tpu_dense_gray_ft800.npz",
+                     "gims_tpu_dense_gray.npz"))
+    for name in weight_names:
         p = os.path.join("weights", name)
         if os.path.exists(p):
             variables = unflatten_npz(p)
@@ -79,7 +83,7 @@ def main():
     m = FusedMatching({
         "sinkhorn_iterations": 20, "match_threshold": 0.02,
         "attention_dtype": "bfloat16", "use_pallas_sinkhorn": True,
-        "fast_frontend": True, "descriptor_source": "dense_gray",
+        "fast_frontend": True, "descriptor_source": desc,
         "init_scheme": "identity",
         "upsample": os.environ.get("GIMS_BENCH_UPSAMPLE", "0") == "1",
         "topk_impl": os.environ.get("GIMS_BENCH_TOPK", "approx"),

@@ -61,6 +61,11 @@ def main():
                          "backend auto-default)")
     ap.add_argument("--band_halfwidth", type=int, default=None,
                     help="band mode: one-sided sorted-index window")
+    ap.add_argument("--pallas_sinkhorn", type=int, default=1,
+                    help="fused path: 0 selects the XLA fori_loop "
+                         "sinkhorn (numerics-parity alternative; the "
+                         "Pallas kernel faults the TPU worker on rare "
+                         "inputs inside the big batched devsift program)")
     ap.add_argument("--record_tag", default="",
                     help="extra suffix for the docs/quality_records "
                          "filename (knob sweeps must not clobber the "
@@ -95,7 +100,7 @@ def main():
             "sinkhorn_iterations": args.sinkhorn_iterations,
             "match_threshold": args.match_threshold,
             "attention_dtype": "bfloat16",
-            "use_pallas_sinkhorn": True,
+            "use_pallas_sinkhorn": bool(args.pallas_sinkhorn),
             "fast_frontend": True,
             "descriptor_source": args.descriptor_source,
             "compact_to": args.compact_to,
