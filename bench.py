@@ -289,6 +289,7 @@ def run_fused(pairs):
     n, elapsed, total_matches, marks = _time_fused(
         matcher, pairs, gray, batch=batch)
     extra = {"mode": "fused", "batch": batch, **extra_knobs}
+    extra.update(_mfu_extra(matcher, 600, 800, batch, elapsed / n, gray))
     if len(marks) >= 4:
         # robustness evidence: pairs/s over the first and second halves
         # of the timed stream (pipelined, so halves are approximate)
@@ -310,6 +311,40 @@ def run_fused(pairs):
     return n, elapsed, total_matches, extra
 
 
+def _mfu_extra(matcher, h, w, batch, sec_per_pair, gray=None):
+    """MFU at the measured operating point: compiled-HLO FLOPs per pair
+    (XLA cost analysis of the exact dispatched executable) over measured
+    wall sec/pair, against the chip's bf16 peak. Wall time includes
+    tunnel upload/readout, so this is END-TO-END MFU — the device-only
+    figure is higher (see scripts/profile_fused_stages.py)."""
+    try:
+        import jax
+
+        ca = matcher.batch_cost_analysis(h, w, batch, gray)
+        flops = float(ca.get("flops", 0.0))
+        if flops <= 0:
+            return {}
+        kind = jax.devices()[0].device_kind.lower()
+        # bf16 peak: v5e 197 TFLOP/s; v4 275; v5p 459
+        peak = (197e12 if "v5 lite" in kind or "v5e" in kind else
+                275e12 if "v4" in kind else
+                459e12 if "v5p" in kind or "v5" in kind else None)
+        fpp = flops / batch
+        achieved = fpp / sec_per_pair
+        out = {
+            "flops_per_pair_g": round(fpp / 1e9, 1),
+            "achieved_tflops_per_s": round(achieved / 1e12, 2),
+        }
+        if ca.get("bytes accessed"):
+            out["hbm_bytes_per_pair_g"] = round(
+                float(ca["bytes accessed"]) / batch / 1e9, 2)
+        if peak:
+            out["mfu"] = round(achieved / peak, 4)
+        return out
+    except Exception:  # noqa: BLE001 — MFU is best-effort telemetry
+        return {}
+
+
 def _run_fused_devsift():
     from gims_tpu.fused import FusedMatching
 
@@ -321,11 +356,19 @@ def _run_fused_devsift():
         "sinkhorn_iterations": 20,
         "match_threshold": 0.02,
         "attention_dtype": "bfloat16",
-        "use_pallas_sinkhorn": True,
+        # XLA sinkhorn: the Pallas kernel faults the TPU worker on rare
+        # pair compositions inside this batched upsampled program
+        # (see quality_eval --pallas_sinkhorn)
+        "use_pallas_sinkhorn": False,
         "fast_frontend": True,
         "descriptor_source": "devsift",
         "upsample": upsample,
         "compact_to": compact,
+        # band-arena CC: bit-identical labels (tests/test_agc.py), and
+        # the O(N*Wh)-per-round propagation wins over the dense O(N^2)
+        # reduce at this 12288 budget (the 6144 bench default keeps dense)
+        "cc_impl": "band",
+        "sift_samples": int(os.environ.get("GIMS_BENCH_SAMPLES", "16")),
         "radius": 15, "percentile": 2, "min_size": 7,
     }, variables=load_variables("gims_tpu_sift_last.npz"),
         total_keypoints=kpts)
@@ -345,6 +388,7 @@ def _run_fused_devsift():
         matcher, pairs, gray=True, batch=batch, depth=depth)
     extra = {"mode": "fused", "batch": batch, "knob_set": "ref",
              "descriptor_source": "devsift"}
+    extra.update(_mfu_extra(matcher, 600, 800, batch, elapsed / n, True))
     if len(marks) >= 4:
         half = len(marks) // 2
         extra["pairs_per_sec_half1"] = round(half * batch / marks[half - 1], 4)

@@ -561,6 +561,7 @@ def build_graph_band(
     reconnect_impl: str = "centroid",
     reconnect_buckets: int = 1024,
     defer_unpermute: bool = False,
+    cc_impl: str = "dense",
 ) -> AGCGraph:
     """Band-limited AGC: same contract as :func:`build_graph`, O(N*W) build.
 
@@ -695,16 +696,20 @@ def build_graph_band(
     ok_fix = nn_ok & (off_fix >= 0) & (off_fix < wh)
     band = band.at[r_fix, jnp.clip(off_fix, 0, wh - 1)].max(ok_fix)
 
-    # --- densify the bool adjacency (fix edges included), then dense CC.
-    # Measured on v5e at the bench shape: propagation over the dense bool
-    # rows beats the banded window-gather variant
-    # (connected_components_band) by ~160 ms/batch — the per-round
-    # (nb, BR, BR+Wh) int32 window materializations cost more than the
-    # (N, N) bool row reduce. The band variant stays for narrow-window /
-    # huge-N regimes where the dense matrix itself is the problem.
+    # --- densify the bool adjacency (fix edges included; the dense
+    # matrix is the downstream SAGE/compaction contract either way), and
+    # label components. cc_impl picks the propagation arena: "dense"
+    # reads O(N^2) bool rows per round — measured faster at the 6144
+    # bench shape (the band variant's per-round (nb, BR, BR+Wh) int32
+    # window materializations cost more than the (N, N) bool row
+    # reduce); "band" reads O(N*Wh) per round — the crossover favors it
+    # at the 12288 upsampled-devsift shape and beyond.
     adj_half = _band_to_dense(band)
     adj = adj_half | adj_half.T
-    labels = connected_components(adj, va, cc_rounds)
+    if cc_impl == "band":
+        labels = connected_components_band(band, va, cc_rounds)
+    else:
+        labels = connected_components(adj, va, cc_rounds)
     safe_labels = jnp.minimum(labels, n - 1)
     sizes = jax.ops.segment_sum(va.astype(jnp.int32), safe_labels,
                                 num_segments=n)

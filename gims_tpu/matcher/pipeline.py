@@ -48,6 +48,7 @@ def run_agc(kpts, descs, valid, acfg: AGCConfig, k=None,
             reconnect_impl=acfg.reconnect_impl,
             reconnect_buckets=acfg.reconnect_buckets,
             defer_unpermute=defer_unpermute,
+            cc_impl=acfg.cc_impl if acfg.cc_impl == "band" else "dense",
         )
         # band mode computes its own strided threshold rank; the exact
         # host-side k does not apply

@@ -61,6 +61,9 @@ def main():
                          "backend auto-default)")
     ap.add_argument("--band_halfwidth", type=int, default=None,
                     help="band mode: one-sided sorted-index window")
+    ap.add_argument("--sift_samples", type=int, default=16,
+                    help="fused devsift: descriptor sample-grid side S "
+                         "(S^2 rotated-frame samples per keypoint)")
     ap.add_argument("--pallas_sinkhorn", type=int, default=1,
                     help="fused path: 0 selects the XLA fori_loop "
                          "sinkhorn (numerics-parity alternative; the "
@@ -103,6 +106,7 @@ def main():
             "use_pallas_sinkhorn": bool(args.pallas_sinkhorn),
             "fast_frontend": True,
             "descriptor_source": args.descriptor_source,
+            "sift_samples": args.sift_samples,
             "compact_to": args.compact_to,
             "upsample": bool(args.upsample),
             "dense_first_map_oct": args.dense_first_map_oct,

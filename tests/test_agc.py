@@ -490,6 +490,25 @@ def test_connected_components_band_vs_dense(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_build_graph_band_cc_impl_band_identical():
+    """build_graph_band(cc_impl='band') returns the same graph as the
+    default dense-CC arena — the labels are the same min-id fixpoint, so
+    kept masks, adjacency, and labels must be bit-identical."""
+    rng = np.random.RandomState(11)
+    n = 220
+    kpts = (rng.rand(n, 2) * 150).astype(np.float32)
+    descs = rng.randn(n, 16).astype(np.float32)
+    a = run_band(kpts, descs, 20.0, 5.0, 6, pad_to=256,
+                 band_halfwidth=128, reconnect_impl="centroid")
+    b = run_band(kpts, descs, 20.0, 5.0, 6, pad_to=256,
+                 band_halfwidth=128, reconnect_impl="centroid",
+                 cc_impl="band")
+    np.testing.assert_array_equal(np.asarray(a.kept), np.asarray(b.kept))
+    np.testing.assert_array_equal(np.asarray(a.adj), np.asarray(b.adj))
+    np.testing.assert_array_equal(np.asarray(a.labels),
+                                  np.asarray(b.labels))
+
+
 def test_band_coverage_detects_dense_slab():
     """The band build's density bound (AGCConfig): a vertical slab holding
     more keypoints than band_halfwidth makes radius pairs fall outside the
