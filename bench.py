@@ -352,9 +352,17 @@ def _run_fused_devsift():
     kpts = int(os.environ.get("GIMS_BENCH_KPTS", "12288" if upsample
                               else "6144"))
     compact = int(os.environ.get("GIMS_BENCH_COMPACT", str(kpts // 2)))
+    # knob sets: "ref" = the reference's published eval knobs; "tuned" =
+    # the recorded devsift operating point (AGC 25/7/8, 50 iterations,
+    # thr 0.05, S=12 sample grid, stride-8 threshold) whose 199-pair
+    # record beats the reference's published REAL-PHOTO row on every
+    # metric including held-out images
+    # (docs/quality_records/fused_devsift_*_r25p7m8_*).
+    knobs = os.environ.get("GIMS_BENCH_KNOBS", "ref")
+    tuned = knobs == "tuned"
     matcher = FusedMatching({
-        "sinkhorn_iterations": 20,
-        "match_threshold": 0.02,
+        "sinkhorn_iterations": 50 if tuned else 20,
+        "match_threshold": 0.05 if tuned else 0.02,
         "attention_dtype": "bfloat16",
         # XLA sinkhorn: the Pallas kernel faults the TPU worker on rare
         # pair compositions inside this batched upsampled program
@@ -368,8 +376,11 @@ def _run_fused_devsift():
         # the O(N*Wh)-per-round propagation wins over the dense O(N^2)
         # reduce at this 12288 budget (the 6144 bench default keeps dense)
         "cc_impl": "band",
-        "sift_samples": int(os.environ.get("GIMS_BENCH_SAMPLES", "16")),
-        "radius": 15, "percentile": 2, "min_size": 7,
+        "sift_samples": int(os.environ.get(
+            "GIMS_BENCH_SAMPLES", "12" if tuned else "16")),
+        "threshold_stride": 8 if tuned else 4,
+        **({"radius": 25, "percentile": 7, "min_size": 8} if tuned else
+           {"radius": 15, "percentile": 2, "min_size": 7}),
     }, variables=load_variables("gims_tpu_sift_last.npz"),
         total_keypoints=kpts)
     # batch 4 upsampled: the program is frontend-bound (per-pair work
@@ -386,7 +397,7 @@ def _run_fused_devsift():
     depth = int(os.environ.get("GIMS_BENCH_DEPTH", "1" if upsample else "2"))
     n, elapsed, total_matches, marks = _time_fused(
         matcher, pairs, gray=True, batch=batch, depth=depth)
-    extra = {"mode": "fused", "batch": batch, "knob_set": "ref",
+    extra = {"mode": "fused", "batch": batch, "knob_set": knobs,
              "descriptor_source": "devsift"}
     extra.update(_mfu_extra(matcher, 600, 800, batch, elapsed / n, True))
     if len(marks) >= 4:

@@ -271,15 +271,27 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
                 grad_levels,
             )
 
+            # dense_first_map_oct >= 1 (the dense_gray map-sharing knob,
+            # same semantics): octave-0 keypoints sample octave 1's
+            # gradient table at halved coordinates/support. The
+            # 2x-upsampled octave carries no image content octave 1
+            # lacks (it is bilinear interpolation + blur of the same
+            # pixels), but its (3*(H+1)*(W+1), 8) gradient table is 4x
+            # the size and ~1/3 of the devsift extract cost.
+            share = (fe.upsample and o == 0 and fe.dense_first_map_oct >= 1
+                     and len(octs_gray) > 1)
+            src_gauss = octs_gray[1] if share else gauss
+            f_sh = 0.5 if share else 1.0
             # bf16 gradient table: the descriptor gather is HBM-bandwidth
             # bound on the (3*(H+1)*(W+1), 8) table (184 MB f32 at the
             # upsampled octave); gradients of 0..255 images lose ~0.4%
             # relative — invisible after the descriptor's 0..255
-            # integer quantization (_finalize).
+            # integer quantization (_finalize). When octave 1's table is
+            # shared across both octaves XLA CSEs the duplicate build.
             gq = quad_rows_from_levels(
-                grad_levels(gauss).astype(jnp.bfloat16))
-            lvh, lvw = int(gauss.shape[1]), int(gauss.shape[2])
-            scl = size_oct * 0.5
+                grad_levels(src_gauss).astype(jnp.bfloat16))
+            lvh, lvw = int(src_gauss.shape[1]), int(src_gauss.shape[2])
+            scl = size_oct * 0.5 * f_sh
             lvi = (layer - 1).astype(jnp.int32)
             validf = valid.astype(jnp.float32)
             nchunks = -(-k_sel // DESC_CHUNK)
@@ -287,13 +299,14 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
             if pad_to != k_sel:
                 p = pad_to - k_sel
                 lvi = jnp.pad(lvi, (0, p))
-                px_p = jnp.pad(px, (0, p))
-                py_p = jnp.pad(py, (0, p))
+                px_p = jnp.pad(px * f_sh, (0, p))
+                py_p = jnp.pad(py * f_sh, (0, p))
                 scl_p = jnp.pad(scl, (0, p), constant_values=1.0)
                 ang_p = jnp.pad(ang, (0, p))
                 val_p = jnp.pad(validf, (0, p))
             else:
-                px_p, py_p, scl_p, ang_p, val_p = px, py, scl, ang, validf
+                px_p, py_p = px * f_sh, py * f_sh
+                scl_p, ang_p, val_p = scl, ang, validf
             chunks = []
             for i in range(nchunks):
                 s = slice(i * DESC_CHUNK, (i + 1) * DESC_CHUNK)

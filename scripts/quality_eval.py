@@ -61,6 +61,8 @@ def main():
                          "backend auto-default)")
     ap.add_argument("--band_halfwidth", type=int, default=None,
                     help="band mode: one-sided sorted-index window")
+    ap.add_argument("--threshold_stride", type=int, default=4,
+                    help="AGC percentile-threshold row subsample stride")
     ap.add_argument("--sift_samples", type=int, default=16,
                     help="fused devsift: descriptor sample-grid side S "
                          "(S^2 rotated-frame samples per keypoint)")
@@ -107,6 +109,7 @@ def main():
             "fast_frontend": True,
             "descriptor_source": args.descriptor_source,
             "sift_samples": args.sift_samples,
+            "threshold_stride": args.threshold_stride,
             "compact_to": args.compact_to,
             "upsample": bool(args.upsample),
             "dense_first_map_oct": args.dense_first_map_oct,
