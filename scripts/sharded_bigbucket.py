@@ -60,7 +60,18 @@ def main():
     acfg = AGCConfig(radius=15.0, percentile=2.0, min_size=7)
     variables = init_gmatcher_variables(mcfg, 0)
 
+    # merge into an existing report and persist after EVERY bucket: the
+    # dense 32k --execute can abort on host OOM and must not take the
+    # finished buckets' evidence with it (it did, round 5)
     report = {"n_devices": len(devices), "buckets": {}}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("n_devices") == len(devices):
+                report["buckets"].update(prev.get("buckets", {}))
+        except Exception:  # noqa: BLE001
+            pass
     for nb in args.nb:
         entry = {}
         ma = sharded_memory_analysis(mcfg, acfg, mesh, (600, 800), nb,
@@ -160,12 +171,16 @@ def main():
                 "sharded_seconds": round(t_shard, 1),
                 "ok": kept_eq and m_agree > 0.995 and n_matches > 500,
             }
-        report["buckets"][str(nb)] = entry
-        print(json.dumps({nb: entry}), flush=True)
+        # merge: keep prior fields (e.g. an earlier run's execute_parity)
+        # that this invocation did not recompute
+        merged = dict(report["buckets"].get(str(nb), {}))
+        merged.update(entry)
+        report["buckets"][str(nb)] = merged
+        print(json.dumps({nb: merged}), flush=True)
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
     print("wrote", args.out)
 
 
