@@ -116,10 +116,8 @@ def build_gray_blur(h: int, w: int, upsample: bool = True):
     for _o in range(n_oct):
         oct_mats.append([(bm.get(hh, ki), bm.get(ww, ki))
                          for ki in range(1, N_OCTAVE_LAYERS + 3)])
-        ori_mats.append([
-            (bm.get(hh, ori_base + i).astype(jnp.bfloat16),
-             bm.get(ww, ori_base + i).astype(jnp.bfloat16))
-            for i in range(N_OCTAVE_LAYERS)])
+        ori_mats.append([(bm.get(hh, ori_base + i), bm.get(ww, ori_base + i))
+                         for i in range(N_OCTAVE_LAYERS)])
         hh, ww = (hh + 1) // 2, (ww + 1) // 2
     return {"init": init, "oct": oct_mats, "ori": ori_mats}
 
@@ -280,17 +278,27 @@ def _orientation_maps(gauss, mats=None):
         gx = (jnp.roll(g, -1, axis=1) - jnp.roll(g, 1, axis=1)) * 0.5
         gy = (jnp.roll(g, -1, axis=0) - jnp.roll(g, 1, axis=0)) * 0.5
         if mats is not None:
-            # bf16 matmuls: the smoothed components only feed atan2 —
-            # bf16's ~0.4% relative error is ~0.2 deg of angle, far under
-            # the descriptor's 45-deg orientation bins — and the halved
-            # temps keep the batched upsampled program inside HBM.
             bh, bw = mats[layer - 1]
-            bh16 = bh.astype(jnp.bfloat16)
-            bw16 = bw.astype(jnp.bfloat16)
-            gxs = (bh16.T @ gx.astype(jnp.bfloat16) @ bw16)
-            gys = (bh16.T @ gy.astype(jnp.bfloat16) @ bw16)
-            gxs = gxs.astype(jnp.float32)
-            gys = gys.astype(jnp.float32)
+            if jax.default_backend() == "tpu":
+                # bf16 MXU matmuls: the smoothed components only feed
+                # atan2 — bf16's ~0.4% relative error is ~0.2 deg of
+                # angle, far under the descriptor's 45-deg orientation
+                # bins — and the halved temps keep the batched upsampled
+                # devsift program inside HBM.
+                bh16 = bh.astype(jnp.bfloat16)
+                bw16 = bw.astype(jnp.bfloat16)
+                gxs = (bh16.T @ gx.astype(jnp.bfloat16) @ bw16).astype(
+                    jnp.float32)
+                gys = (bh16.T @ gy.astype(jnp.bfloat16) @ bw16).astype(
+                    jnp.float32)
+            else:
+                # f32 HIGH off-TPU: CPU's emulated-bf16 batched matmuls
+                # accumulate in a different order than unbatched ones,
+                # flipping angles at near-zero-gradient pixels and
+                # breaking dispatch_batch vs dispatch bit-stability
+                # (tests/test_fused.py::test_fused_batch_matches_single)
+                gxs = sep_blur_matmul(gx, bh, bw)
+                gys = sep_blur_matmul(gy, bh, bw)
         else:
             sig = 1.5 * SIGMA * (2.0 ** (layer / N_OCTAVE_LAYERS))
             kern = jnp.asarray(gaussian_kernel_1d(sig))
