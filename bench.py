@@ -354,15 +354,15 @@ def _run_fused_devsift():
     compact = int(os.environ.get("GIMS_BENCH_COMPACT", str(kpts // 2)))
     # knob sets: "ref" = the reference's published eval knobs; "tuned" =
     # the recorded devsift operating point (AGC 25/7/8, 50 iterations,
-    # thr 0.05, S=12 sample grid, stride-8 threshold) whose 199-pair
-    # record beats the reference's published REAL-PHOTO row on every
-    # metric including held-out images
-    # (docs/quality_records/fused_devsift_*_r25p7m8_*).
+    # thr 0.06, S=12 sample grid, stride-8 threshold) whose 199-pair
+    # records beat the reference's published REAL-PHOTO row on every
+    # metric in all four regimes, held-out included
+    # (docs/quality_records/fused_devsift_*_r25p7m8_*t006*).
     knobs = os.environ.get("GIMS_BENCH_KNOBS", "ref")
     tuned = knobs == "tuned"
     matcher = FusedMatching({
         "sinkhorn_iterations": 50 if tuned else 20,
-        "match_threshold": 0.05 if tuned else 0.02,
+        "match_threshold": 0.06 if tuned else 0.02,
         "attention_dtype": "bfloat16",
         # XLA sinkhorn: the Pallas kernel faults the TPU worker on rare
         # pair compositions inside this batched upsampled program

@@ -1,30 +1,36 @@
 #!/bin/bash
-# The full test gate, split into two processes.
+# The full test gate, one pytest process per test file.
 #
-# WHY: XLA:CPU's JIT segfaults (rc 139) when compiling after libtorch is
-# resident in a process that has already compiled ~100 programs — the
-# full single-process run reproducibly crashes around
-# tests/test_matcher.py (VERDICT r4 missing #3; three identical crashes
-# in /tmp/pytest_r4*.log, reproduced in round 5). Every test passes when
-# the torch-oracle files run in their own process. Pre-importing torch
-# before the first XLA compile does NOT fix it (tried round 5).
+# WHY per-file processes: XLA:CPU's JIT segfaults after enough compiles
+# have accumulated in one long-lived process alongside heavy C++
+# extension stacks — first seen with libtorch resident (VERDICT r4
+# missing #3: reproducible rc-139 at tests/test_matcher.py), and in
+# round 5 the crash point migrated into the torch-FREE half
+# (test_train.py, stack in backend_compile_and_load) as the suite grew.
+# Every test passes when its file runs in a fresh process; per-file
+# isolation makes the gate deterministic at the cost of ~5 min of
+# interpreter/import overhead.
 #
 # Usage:
-#   scripts/run_tests.sh            # full gate (~45 min on 1 core)
-#   scripts/run_tests.sh -m smoke   # fast tier (< 5 min), both halves
-set -e
+#   scripts/run_tests.sh            # full gate (~50 min on 1 core)
+#   scripts/run_tests.sh -m smoke   # fast tier (< 5 min)
+set -u
 cd "$(dirname "$0")/.."
 
-TORCH_FILES="tests/test_api.py tests/test_carhynet.py \
-tests/test_golden_torch.py tests/test_matcher.py"
+fail=()
+for f in tests/test_*.py; do
+    echo "=== $f ==="
+    python -m pytest "$f" -q "$@"
+    rc=$?
+    # exit 5 = no tests collected in this file for the given -m filter
+    if [ $rc -ne 0 ] && [ $rc -ne 5 ]; then
+        fail+=("$f(rc=$rc)")
+    fi
+done
 
-echo "=== [1/2] torch-free suite ==="
-python -m pytest tests/ -q \
-    --ignore tests/test_api.py --ignore tests/test_carhynet.py \
-    --ignore tests/test_golden_torch.py --ignore tests/test_matcher.py \
-    "$@"
-
-echo "=== [2/2] torch-oracle suite (own process) ==="
-python -m pytest $TORCH_FILES -q "$@"
-
-echo "=== full gate green ==="
+if [ ${#fail[@]} -eq 0 ]; then
+    echo "=== full gate green ==="
+else
+    echo "=== FAILED: ${fail[*]} ==="
+    exit 1
+fi
