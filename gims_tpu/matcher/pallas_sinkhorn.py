@@ -9,6 +9,18 @@ across all iterations — the matrix never round-trips through XLA temps.
 Math parity with sinkhorn.log_sinkhorn_iterations; the wrapper
 log_optimal_transport_pallas matches sinkhorn.log_optimal_transport and
 falls back to the XLA path off-TPU (interpret mode is used in tests).
+
+KNOWN FAULT (round 5, unresolved): inside the big batched upsampled
+devsift fused program, this kernel crashes the TPU worker for specific
+pair compositions (reproducer: bench.make_images(20) pair 11 x4 at
+batch=4, N1=6272) — deterministic per composition, data-dependent, yet
+every DMA offset here is grid/loop-derived and the SAME inputs pass
+when extract/matcher run as separate programs, or single-pair, or with
+the XLA sinkhorn. Smells like an XLA<->Mosaic composition issue (buffer
+placement/DMA interaction under that program's memory pressure), not
+kernel math. Until root-caused, the devsift bench/eval configs pass
+use_pallas_sinkhorn=False; the dense_gray bench default (compact 4096,
+batch 8) has never shown it across hundreds of batches.
 """
 
 from __future__ import annotations
