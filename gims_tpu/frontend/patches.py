@@ -91,8 +91,20 @@ def quad_rows_from_levels(levels):
     cv2.warpAffine's BORDER_CONSTANT zero border exactly.
     """
     lnum, h, w, c = levels.shape
+    return quad_blocks_from_levels(levels).reshape(
+        lnum * (h + 1) * (w + 1), 4 * c)
+
+
+def quad_blocks_from_levels(levels):
+    """quad_rows_from_levels without the final flatten: (L, h, w, C) ->
+    (L, h+1, w+1, 4C) in native image layout. The flatten to (N, 4C) is a
+    pure retiling copy on TPU (~23 ms/batch at the 2x-upsampled octave,
+    scripts/profile_devsift_extract3.py); consumers that can gather by
+    3-D index (sift_descriptor._descr_chunk's 4-D path) should take this
+    form instead."""
+    lnum, h, w, c = levels.shape
     p = jnp.pad(levels, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    quad = jnp.concatenate(
+    return jnp.concatenate(
         [
             p[:, 0 : h + 1, 0 : w + 1],
             p[:, 0 : h + 1, 1 : w + 2],
@@ -101,7 +113,6 @@ def quad_rows_from_levels(levels):
         ],
         axis=-1,
     )
-    return quad.reshape(lnum * (h + 1) * (w + 1), 4 * c)
 
 
 def _warp_chunk(quad_rows, h, w, channels, level_idx, ainv, interpolation,

@@ -141,13 +141,34 @@ def _descr_chunk(grad_quads, h, w, level_idx, px, py, scl, angle, valid,
     iy = fy.astype(jnp.int32)
 
     # one quad row covers the 2x2 bilinear tap block (patches.py layout)
-    nquads = (h + 1) * (w + 1)
-    base = level_idx[:, None] * nquads
     qy = iy + 1
     qx = ix + 1
     ok = (qy >= 0) & (qy <= h) & (qx >= 0) & (qx <= w)
-    idx = base + jnp.clip(qy, 0, h) * (w + 1) + jnp.clip(qx, 0, w)
-    vals = jnp.take(grad_quads, idx, axis=0)          # (k, S^2, 8)
+    qyc = jnp.clip(qy, 0, h)
+    qxc = jnp.clip(qx, 0, w)
+    if grad_quads.ndim == 4:
+        # native-layout (L, h+1, w+1, 8) table: gather rows by 3-D index.
+        # Flattening that array to (L*(h+1)*(w+1), 8) first is a pure
+        # retiling copy that costs ~6 ms/side at the upsampled octave
+        # (scripts/profile_devsift_extract3.py: 23 ms/batch of the 24.8
+        # total); lax.gather fetches the same 8-value rows straight out
+        # of the image-layout operand. Row values are bit-identical.
+        kk, ss = qyc.shape
+        starts = jnp.stack(
+            [jnp.broadcast_to(level_idx[:, None], (kk, ss)), qyc, qxc],
+            axis=-1).reshape(kk * ss, 3)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0, 1, 2),
+            start_index_map=(0, 1, 2))
+        vals = jax.lax.gather(
+            grad_quads, starts, dn,
+            slice_sizes=(1, 1, 1, grad_quads.shape[-1]),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        ).reshape(kk, ss, grad_quads.shape[-1])       # (k, S^2, 8)
+    else:
+        nquads = (h + 1) * (w + 1)
+        idx = level_idx[:, None] * nquads + qyc * (w + 1) + qxc
+        vals = jnp.take(grad_quads, idx, axis=0)      # (k, S^2, 8)
     okf = ok.astype(jnp.float32)
     w00 = (1.0 - ty) * (1.0 - tx) * okf
     w01 = (1.0 - ty) * tx * okf

@@ -288,7 +288,12 @@ def _extract_side(image_u8, h, w, budgets, fe: FrontendConfig,
             # relative — invisible after the descriptor's 0..255
             # integer quantization (_finalize). When octave 1's table is
             # shared across both octaves XLA CSEs the duplicate build.
-            gq = quad_rows_from_levels(
+            # Native-layout (3, h+1, w+1, 8) table — _descr_chunk gathers
+            # by 3-D index, skipping the (N, 8) retiling flatten
+            # (~6 ms/side at the upsampled octave).
+            from gims_tpu.frontend.patches import quad_blocks_from_levels
+
+            gq = quad_blocks_from_levels(
                 grad_levels(src_gauss).astype(jnp.bfloat16))
             lvh, lvw = int(src_gauss.shape[1]), int(src_gauss.shape[2])
             scl = size_oct * 0.5 * f_sh

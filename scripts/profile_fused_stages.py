@@ -82,7 +82,13 @@ def main():
             break
     m = FusedMatching({
         "sinkhorn_iterations": 20, "match_threshold": 0.02,
-        "attention_dtype": "bfloat16", "use_pallas_sinkhorn": True,
+        "attention_dtype": "bfloat16",
+        # devsift default off: the Pallas sinkhorn faults the TPU worker
+        # on rare pair compositions inside the batched upsampled devsift
+        # program (see matcher/pallas_sinkhorn.py)
+        "use_pallas_sinkhorn": os.environ.get(
+            "GIMS_BENCH_PALLAS_SINKHORN",
+            "0" if desc == "devsift" else "1") == "1",
         "fast_frontend": True, "descriptor_source": desc,
         "init_scheme": "identity",
         "upsample": os.environ.get("GIMS_BENCH_UPSAMPLE", "0") == "1",
